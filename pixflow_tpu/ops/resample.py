@@ -1,0 +1,191 @@
+"""Grid resampling primitives with PyTorch `grid_sample(align_corners=True,
+padding_mode='zeros')` semantics, built TPU-first.
+
+The reference pipeline leans on `F.grid_sample` in four places (flow warping of
+the loss grid, cycle-consistency checking, long-range flow composition, and the
+RAFT correlation lookup — reference `contrast/models/PixPro.py:64-69`,
+`contrast/util.py:278,318-322`, `contrast/flow/utils/utils.py:64-78`). JAX has
+no built-in equivalent, so we implement it once here as a vectorised gather and
+reuse it everywhere. `resize_align_corners` (used by `upflow8`) is implemented
+as two small dense matmuls so it runs on the MXU instead of a gather.
+
+Conventions (all TPU-friendly channels-last):
+    images / fields : [B, H, W, C]
+    sampling grids  : [B, Hg, Wg, 2] with (x, y) normalized to [-1, 1]
+                      (align_corners=True: -1 -> pixel 0, +1 -> pixel N-1)
+    flows           : [B, H, W, 2] with (fx, fy) in pixels
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def coords_grid(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Pixel-coordinate grid [H, W, 2] holding (x, y) at each location.
+
+    Mirrors reference `contrast/flow/utils/utils.py:81-84` (coords_grid),
+    channels-last instead of channels-first.
+    """
+    ys = jax.lax.broadcasted_iota(dtype, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(dtype, (h, w), 1)
+    return jnp.stack([xs, ys], axis=-1)
+
+
+def normalize_coords(coords: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Pixel coords -> [-1, 1] normalized coords (align_corners=True).
+
+    coords: [..., 2] (x, y). Reference `contrast/util.py:333-339`.
+    """
+    x = 2.0 * coords[..., 0] / (w - 1) - 1.0
+    y = 2.0 * coords[..., 1] / (h - 1) - 1.0
+    return jnp.stack([x, y], axis=-1)
+
+
+def normalize_flow(flow: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Pixel-unit flow -> normalized-unit flow. Reference `util.py:342-348`."""
+    fx = 2.0 * flow[..., 0] / (w - 1)
+    fy = 2.0 * flow[..., 1] / (h - 1)
+    return jnp.stack([fx, fy], axis=-1)
+
+
+def denormalize_flow(flow: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Normalized-unit flow -> pixel-unit flow. Reference `util.py:351-357`."""
+    fx = flow[..., 0] * (w - 1) / 2.0
+    fy = flow[..., 1] * (h - 1) / 2.0
+    return jnp.stack([fx, fy], axis=-1)
+
+
+def _gather_hw(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
+    """Gather img[b, yi, xi, :] for flat per-batch index tensors.
+
+    img: [B, H, W, C]; yi, xi: [B, N] int32 (already clipped in-range).
+    Returns [B, N, C].
+    """
+    b, h, w, c = img.shape
+    flat = img.reshape(b, h * w, c)
+    idx = yi * w + xi  # [B, N]
+    return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+
+def grid_sample(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling, align_corners=True, zeros padding.
+
+    img: [B, H, W, C], grid: [B, Hg, Wg, 2] normalized (x, y).
+    Returns [B, Hg, Wg, C]. Out-of-bounds taps contribute zero, exactly like
+    `torch.nn.functional.grid_sample(..., padding_mode='zeros',
+    align_corners=True)`.
+    """
+    b, h, w, c = img.shape
+    gb, gh, gw, _ = grid.shape
+    assert gb == b, f"batch mismatch {gb} vs {b}"
+
+    x = (grid[..., 0] + 1.0) * 0.5 * (w - 1)
+    y = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
+    x = x.reshape(b, gh * gw)
+    y = y.reshape(b, gh * gw)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+    wx = x - x0
+    wy = y - y0
+
+    out = jnp.zeros((b, gh * gw, c), dtype=img.dtype)
+    for yc, xc, wgt in (
+        (y0, x0, (1 - wy) * (1 - wx)),
+        (y0, x1, (1 - wy) * wx),
+        (y1, x0, wy * (1 - wx)),
+        (y1, x1, wy * wx),
+    ):
+        valid = (xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1)
+        xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
+        tap = _gather_hw(img, yi, xi)
+        out = out + jnp.where(valid[..., None], wgt[..., None] * tap, 0.0)
+
+    return out.reshape(b, gh, gw, c)
+
+
+def grid_sample_nearest(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Nearest sampling, align_corners=True, zeros padding.
+
+    Rounds half-to-even like PyTorch's nearest mode (std::nearbyint).
+    img: [B, H, W, C], grid: [B, Hg, Wg, 2]. Returns [B, Hg, Wg, C].
+    """
+    b, h, w, c = img.shape
+    gb, gh, gw, _ = grid.shape
+    assert gb == b
+
+    x = (grid[..., 0] + 1.0) * 0.5 * (w - 1)
+    y = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
+    x = jnp.round(x).reshape(b, gh * gw)
+    y = jnp.round(y).reshape(b, gh * gw)
+
+    valid = (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1)
+    xi = jnp.clip(x, 0, w - 1).astype(jnp.int32)
+    yi = jnp.clip(y, 0, h - 1).astype(jnp.int32)
+    tap = _gather_hw(img, yi, xi)
+    out = jnp.where(valid[..., None], tap, 0.0)
+    return out.reshape(b, gh, gw, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix_np(n_in: int, n_out: int):
+    import numpy as np
+
+    if n_out == 1:
+        a = np.zeros((1, n_in), np.float32)
+        a[0, 0] = 1.0
+        return a
+    src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    j0 = np.clip(np.floor(src), 0, n_in - 1).astype(np.int64)
+    j1 = np.clip(j0 + 1, 0, n_in - 1)
+    w1 = (src - j0).astype(np.float32)
+    a = np.zeros((n_out, n_in), np.float32)
+    rows = np.arange(n_out)
+    np.add.at(a, (rows, j0), 1.0 - w1)
+    np.add.at(a, (rows, j1), w1)
+    return a
+
+
+def _interp_matrix(n_in: int, n_out: int, dtype) -> jnp.ndarray:
+    """Dense 1-D linear-interpolation matrix A [n_out, n_in] with
+    align_corners=True source positions: src(i) = i * (n_in-1) / (n_out-1).
+
+    Two nonzeros per row; applying the resize as out = A @ x keeps the
+    computation on the MXU instead of issuing gathers.
+    """
+    return jnp.asarray(_interp_matrix_np(n_in, n_out), dtype=dtype)
+
+
+def resize_align_corners(img: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize with align_corners=True semantics (matches
+    `F.interpolate(..., mode='bilinear', align_corners=True)`).
+
+    img: [B, H, W, C] -> [B, size[0], size[1], C]. Implemented as two dense
+    matmuls (MXU-friendly: no gathers, static shapes).
+    """
+    b, h, w, c = img.shape
+    h2, w2 = size
+    if (h, w) == (h2, w2):
+        return img
+    ah = _interp_matrix(h, h2, img.dtype)  # [H2, H]
+    aw = _interp_matrix(w, w2, img.dtype)  # [W2, W]
+    out = jnp.einsum("oh,bhwc->bowc", ah, img, preferred_element_type=img.dtype)
+    out = jnp.einsum("pw,bowc->bopc", aw, out, preferred_element_type=img.dtype)
+    return out
+
+
+def upflow8(flow: jnp.ndarray) -> jnp.ndarray:
+    """8x upsample a flow field and scale its values by 8.
+
+    flow: [B, H, W, 2] -> [B, 8H, 8W, 2]. Mirrors reference
+    `contrast/flow/utils/utils.py:87-89` (bilinear, align_corners=True, x8).
+    """
+    b, h, w, _ = flow.shape
+    return 8.0 * resize_align_corners(flow, (8 * h, 8 * w))
