@@ -1,0 +1,142 @@
+"""Typed configuration, replacing the reference's argparse surface
+(`contrast/option.py:10-121`) and the env-var shell recipes layered on top
+(`tools/pretrain_bdd100k_job_base.sh`). Every reference flag has a field here;
+TPU-specific knobs (compute dtype, mesh) are additive.
+
+Configs serialize to/from JSON (reference dumps `config.json`,
+`main_pretrain.py:381-384`)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass
+class DataConfig:
+    data_dir: str = "./data"
+    dataset: str = "bdd100k"           # 'ImageNet' | 'bdd100k'
+    ann_file: str = ""
+    zip_mode: bool = False             # reference --zip
+    cache_mode: str = "part"           # 'no' | 'full' | 'part'
+    aug: str = "BYOL"                  # 'NULL','InstDisc','MoCov2','SimCLR','RandAug','BYOL','val'
+    crop: float = 0.08                 # minimum crop scale
+    crop_ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0)
+    image_size: int = 224
+    n_frames: int = 1
+    num_workers: int = 4
+    batch_size: int = 64               # per replica (reference: per GPU)
+
+
+@dataclass
+class FlowConfig:
+    use_flow: bool = False
+    use_flow_file: bool = False
+    flow_root: str = ""
+    fwd_name: str = "forward"
+    bwd_name: str = "backward"
+    flow_model: str = ""               # RAFT checkpoint (on-the-fly path)
+    small: bool = False                # RAFT-small (inferred from ckpt name)
+    flow_up: bool = False              # upflow8 before composing
+    flow_cat_norm: bool = False        # compose in normalized units
+    use_flow_frames: bool = False      # all (span,start) compositions
+    alpha1: Optional[float] = None     # cycle-consistency coefficients
+    alpha2: Optional[float] = None
+    flow_bs: Optional[int] = None      # RAFT inference micro-batch
+    raft_iters: int = 12
+
+
+@dataclass
+class ModelConfig:
+    model: str = "PixPro"
+    arch: str = "resnet50"
+    feature_dim: int = 256
+    head_type: str = "early_return"
+    pixpro_p: float = 1.0
+    pixpro_momentum: float = 0.99
+    pixpro_pos_ratio: float = 0.7
+    pixpro_clamp_value: float = 0.0
+    pixpro_transform_layer: int = 0
+    pixpro_ins_loss_weight: float = 0.0
+
+
+@dataclass
+class OptimConfig:
+    optimizer: str = "lars"            # 'sgd' | 'lars'
+    base_lr: float = 1.0               # per-256 base (pretrain) / absolute (linear)
+    lr_scheduler: str = "cosine"       # 'cosine' | 'step'
+    warmup_epoch: int = 5
+    warmup_multiplier: float = 100.0
+    lr_decay_epochs: Sequence[int] = (120, 160, 200)
+    lr_decay_rate: float = 0.1
+    weight_decay: float = 1e-5
+    momentum: float = 0.9
+    epochs: int = 100
+    start_epoch: int = 1
+
+
+@dataclass
+class RuntimeConfig:
+    output_dir: str = "./output"
+    auto_resume: bool = False
+    resume: str = ""
+    pretrained_model: str = ""
+    print_freq: int = 100
+    save_freq: int = 10
+    debug: bool = False
+    debug_epochs: Optional[int] = None
+    verbose: bool = False
+    seed: int = 0
+    # TPU-native knobs
+    compute_dtype: str = "bfloat16"    # 'bfloat16' | 'float32' (amp O1-ish vs O0)
+    mesh_shape: Optional[int] = None   # data-parallel mesh size; None = all devices
+    wandb: bool = False
+    wandb_project: str = "pixflow-tpu"
+    wandb_entity: str = ""
+
+
+@dataclass
+class PretrainConfig:
+    data: DataConfig = field(default_factory=DataConfig)
+    flow: FlowConfig = field(default_factory=FlowConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+
+    def to_json(self, **kw) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str, **kw)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PretrainConfig":
+        return cls(
+            data=DataConfig(**d.get("data", {})),
+            flow=FlowConfig(**d.get("flow", {})),
+            model=ModelConfig(**d.get("model", {})),
+            optim=OptimConfig(**d.get("optim", {})),
+            runtime=RuntimeConfig(**d.get("runtime", {})),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "PretrainConfig":
+        return cls.from_dict(json.loads(s))
+
+
+@dataclass
+class LinearConfig:
+    """Linear-probe stage (reference `main_linear.py` + option stage='linear')."""
+    data: DataConfig = field(default_factory=lambda: DataConfig(
+        aug="NULL", crop=0.08, dataset="ImageNet"))
+    model: ModelConfig = field(default_factory=lambda: ModelConfig(
+        head_type="reduce"))
+    optim: OptimConfig = field(default_factory=lambda: OptimConfig(
+        optimizer="sgd", base_lr=30.0, weight_decay=0.0, warmup_epoch=0,
+        epochs=100))
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+    total_batch_size: int = 256
+    num_classes: int = 1000
+    eval_only: bool = False
+
+    def to_json(self, **kw) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str, **kw)

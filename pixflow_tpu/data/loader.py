@@ -1,0 +1,159 @@
+"""Host-sharded, prefetching batch loader.
+
+Replaces the reference's DataLoader + DistributedSampler stack
+(`contrast/data/__init__.py:70-85`): deterministic per-epoch shuffling keyed
+on (seed, epoch) with wrap-around padding, per-host index striding (one JAX
+process per host feeds its local slice of the global batch), and a
+thread-pool pipeline that decodes/augments ahead of the device step."""
+
+from __future__ import annotations
+
+import os
+import queue
+import random
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from .datasets import VideoFrameDataset, list_annotation_file, list_image_folder
+from .transforms import get_transform
+
+
+class ShardedLoader:
+    def __init__(self, dataset, global_batch_size: int, *,
+                 num_hosts: int = 1, host_id: int = 0, seed: int = 0,
+                 shuffle: bool = True, drop_last: bool = True,
+                 num_threads: int = 4, prefetch: int = 2):
+        assert global_batch_size % num_hosts == 0, \
+            "global batch must divide evenly across hosts"
+        self.dataset = dataset
+        self.global_batch_size = global_batch_size
+        self.local_batch_size = global_batch_size // num_hosts
+        self.num_hosts = num_hosts
+        self.host_id = host_id
+        self.seed = seed
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_threads = max(num_threads, 1)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        """Steps per epoch (matches DistributedSampler: pad-to-even split,
+        then drop_last batches)."""
+        per_host = int(np.ceil(len(self.dataset) / self.num_hosts))
+        if self.drop_last:
+            return per_host // self.local_batch_size
+        return int(np.ceil(per_host / self.local_batch_size))
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            g = np.random.default_rng(self.seed * 100003 + epoch)
+            order = g.permutation(n)
+        else:
+            order = np.arange(n)
+        per_host = int(np.ceil(n / self.num_hosts))
+        total = per_host * self.num_hosts
+        if total > n:  # wrap-around padding, DistributedSampler-style
+            order = np.concatenate([order, order[: total - n]])
+        return order[self.host_id::self.num_hosts]
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._epoch_indices(epoch)
+        bs = self.local_batch_size
+        n_batches = len(self)
+        base_seed = self.seed * 7919 + epoch * 104729 + self.host_id
+
+        def fetch(i):
+            rng = random.Random(base_seed + int(i))
+            return self.dataset.__getitem__(int(i), rng)
+
+        if self.num_threads == 1:
+            for b in range(n_batches):
+                chunk = indices[b * bs:(b + 1) * bs]
+                yield _collate([fetch(i) for i in chunk])
+            return
+
+        # thread-pool prefetch pipeline
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        break
+                    chunk = indices[b * bs:(b + 1) * bs]
+                    samples = list(pool.map(fetch, chunk))
+                    out_q.put(_collate(samples))
+            out_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+
+
+def _collate(samples) -> Dict[str, np.ndarray]:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples]) for k in keys}
+
+
+def build_pretrain_loader(cfg, *, global_batch_size: Optional[int] = None,
+                          num_hosts: int = 1, host_id: int = 0,
+                          prefix: str = "train") -> ShardedLoader:
+    """Assemble the pretrain loader from a PretrainConfig, resolving flow
+    roots the way the reference does (`contrast/data/__init__.py:15-34`):
+    default flow_root = dirname(data_dir)/flow/pth, then
+    <flow_root>/<prefix>/{forward,backward}."""
+    data, flow = cfg.data, cfg.flow
+
+    transform = get_transform(data.aug, data.crop, data.image_size,
+                              data.crop_ratio)
+
+    fwd_root = bwd_root = ""
+    if flow.use_flow and flow.use_flow_file:
+        flow_root = flow.flow_root
+        if not flow_root:
+            flow_root = os.path.join(os.path.dirname(data.data_dir.rstrip("/")),
+                                     "flow", "pth")
+        flow_root = os.path.join(flow_root, prefix)
+        fwd_root = os.path.join(flow_root, flow.fwd_name or "forward")
+        bwd_root = os.path.join(flow_root, flow.bwd_name or "backward")
+
+    if data.ann_file:
+        samples = list_annotation_file(
+            os.path.join(data.data_dir, data.ann_file),
+            img_prefix=os.path.join(data.data_dir, prefix + ".zip@/")
+            if data.zip_mode else data.data_dir,
+            dataset=data.dataset)
+    else:
+        samples = list_image_folder(os.path.join(data.data_dir, prefix),
+                                    dataset=data.dataset)
+
+    live_raft = flow.use_flow and not flow.use_flow_file
+    dataset = VideoFrameDataset(
+        samples=samples,
+        transform=transform,
+        n_frames=data.n_frames,
+        two_crop=cfg.model.model in ("PixPro",),
+        video_mode=data.dataset == "bdd100k",
+        flow_fwd_root=fwd_root,
+        flow_bwd_root=bwd_root,
+        load_raw_frames=live_raft,
+    )
+
+    # cfg.data.batch_size is per replica (reference: per GPU); the driver
+    # passes the true global batch (= per-replica * n_devices).
+    global_batch = global_batch_size or data.batch_size * num_hosts
+    return ShardedLoader(dataset, global_batch, num_hosts=num_hosts,
+                         host_id=host_id, seed=cfg.runtime.seed,
+                         num_threads=max(data.num_workers, 1))

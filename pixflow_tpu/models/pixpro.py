@@ -1,0 +1,197 @@
+"""PixPro: pixel-level contrastive model with online + momentum branches.
+
+Functional redesign of reference `contrast/models/PixPro.py:258-439`. The
+torch version mutates its key encoder in-place mid-forward and relies on
+DDP/SyncBN side effects; here the model is a pure Flax module whose parameter
+tree carries both branches side by side:
+
+    params = {encoder, projector, value_transform[, projector_instance,
+              predictor], encoder_k, projector_k[, projector_instance_k]}
+
+and the EMA update is an explicit pure function over that tree
+(`ema_update`), applied by the train step *before* the momentum forward with
+the pre-step online params — same ordering as the reference
+(`PixPro.py:398-399` updates keys before the no-grad key forward).
+
+Cross-replica BatchNorm is the `axis_name` threaded into every BatchNorm
+(replaces `nn.SyncBatchNorm.convert_sync_batchnorm`, `PixPro.py:289-292`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax.core import freeze, unfreeze
+
+from ..ops.loss import l2_normalize, pixpro_pair_loss, ppm_attention, instance_loss
+from .heads import MLP2d
+from .resnet import make_resnet
+
+# online-branch subtree -> momentum-branch subtree
+EMA_PAIRS = (
+    ("encoder", "encoder_k"),
+    ("projector", "projector_k"),
+    ("projector_instance", "projector_instance_k"),
+)
+
+
+def momentum_schedule(k, total_steps: int, base_momentum: float):
+    """Cosine-ramped EMA momentum: 1 - (1-m) * (cos(pi*k/K)+1)/2.
+
+    Starts at `base_momentum` and ramps to 1.0 over training — reference
+    `PixPro.py:294-295,321-327` (K = per-replica total steps, k = current).
+    """
+    k = jnp.asarray(k, jnp.float32)
+    ramp = (jnp.cos(jnp.pi * k / total_steps) + 1.0) / 2.0
+    return 1.0 - (1.0 - base_momentum) * ramp
+
+
+def ema_update(params, momentum):
+    """new_k = m * k + (1-m) * q for every EMA pair present in `params`."""
+    params = unfreeze(params) if hasattr(params, "unfreeze") else dict(params)
+    for q_name, k_name in EMA_PAIRS:
+        if q_name in params and k_name in params:
+            params[k_name] = jax.tree.map(
+                lambda pk, pq: pk * momentum + pq * (1.0 - momentum),
+                params[k_name], params[q_name])
+    return params
+
+
+def init_momentum_from_online(params):
+    """Copy online subtrees into their momentum twins (init-time only;
+    reference `PixPro.py:281-287`)."""
+    params = unfreeze(params) if hasattr(params, "unfreeze") else dict(params)
+    for q_name, k_name in EMA_PAIRS:
+        if q_name in params and k_name in params:
+            params[k_name] = jax.tree.map(jnp.copy, params[q_name])
+    return params
+
+
+class PixPro(nn.Module):
+    """Online encoder->projector->PPM + momentum encoder->projector."""
+
+    arch: str = "resnet50"
+    pixpro_p: float = 1.0
+    pixpro_clamp_value: float = 0.0
+    pixpro_transform_layer: int = 0
+    pixpro_pos_ratio: float = 0.7
+    pixpro_ins_loss_weight: float = 0.0
+    proj_inner_dim: int = 4096
+    proj_out_dim: int = 256
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+    bn_momentum: float = 0.9
+
+    def setup(self):
+        common = dict(dtype=self.dtype, axis_name=self.axis_name,
+                      bn_momentum=self.bn_momentum)
+        enc = lambda: make_resnet(self.arch, head_type="early_return", **common)
+        head = lambda: MLP2d(self.proj_inner_dim, self.proj_out_dim, **common)
+
+        self.encoder = enc()
+        self.projector = head()
+        self.encoder_k = enc()
+        self.projector_k = head()
+
+        if self.pixpro_transform_layer == 0:
+            self.value_transform = None
+        elif self.pixpro_transform_layer == 1:
+            self.value_transform = nn.Dense(self.proj_out_dim,
+                                            dtype=self.dtype,
+                                            name="value_transform")
+        elif self.pixpro_transform_layer == 2:
+            self.value_transform = MLP2d(self.proj_out_dim, self.proj_out_dim,
+                                         name="value_transform", **common)
+        else:
+            raise NotImplementedError(
+                f"pixpro_transform_layer={self.pixpro_transform_layer}")
+
+        if self.pixpro_ins_loss_weight > 0.0:
+            self.projector_instance = head()
+            self.projector_instance_k = head()
+            self.predictor = head()
+
+    # --- branch forwards -------------------------------------------------
+
+    def featprop(self, proj, train: bool = True):
+        """Pixel propagation: value transform + cosine-attention smoothing
+        (reference featprop, `PixPro.py:339-363`)."""
+        if self.value_transform is None:
+            value = proj
+        elif isinstance(self.value_transform, MLP2d):
+            value = self.value_transform(proj, train)
+        else:
+            value = self.value_transform(proj)
+        return ppm_attention(proj, value, p=self.pixpro_p,
+                             clamp_value=self.pixpro_clamp_value)
+
+    def online(self, im, train: bool = True):
+        """Online branch: returns L2-normalized pixel predictions
+        [B, h, w, C] (+ normalized instance prediction [B, C] if enabled)."""
+        feat = self.encoder(im, train)
+        proj = self.projector(feat, train)
+        pred = l2_normalize(self.featprop(proj, train))
+
+        inst = None
+        if self.pixpro_ins_loss_weight > 0.0:
+            pi = self.projector_instance(feat, train)
+            pi = self.predictor(pi, train)
+            pi = nn.avg_pool(pi, (7, 7), (1, 1)).reshape(pi.shape[0], -1)
+            inst = l2_normalize(pi)
+        return pred, inst
+
+    def momentum_branch(self, im, train: bool = True):
+        """Momentum branch: normalized projections (targets). Gradients are
+        stopped by the caller; BN here still runs in train mode, exactly like
+        the reference's never-eval'd key encoder."""
+        feat = self.encoder_k(im, train)
+        proj = l2_normalize(self.projector_k(feat, train))
+
+        inst = None
+        if self.pixpro_ins_loss_weight > 0.0:
+            pk = self.projector_instance_k(feat, train)
+            pk = nn.avg_pool(pk, (7, 7), (1, 1)).reshape(pk.shape[0], -1)
+            inst = l2_normalize(pk)
+        return proj, inst
+
+    # --- full loss (both views) ------------------------------------------
+
+    def __call__(self, im1, im2, coord1, coord2,
+                 flow_fwd=None, flow_bwd=None,
+                 mask_fwd=None, mask_bwd=None,
+                 train: bool = True):
+        """Symmetric PixPro loss over the two views (reference
+        `PixPro.py:368-439`). Flow (if given) warps each query grid onto the
+        other view's frame. Returns (loss, stats_dict)."""
+        pred_1, inst_1 = self.online(im1, train)
+        pred_2, inst_2 = self.online(im2, train)
+
+        proj_1_ng, inst_1_ng = self.momentum_branch(im1, train)
+        proj_2_ng, inst_2_ng = self.momentum_branch(im2, train)
+        proj_1_ng = jax.lax.stop_gradient(proj_1_ng)
+        proj_2_ng = jax.lax.stop_gradient(proj_2_ng)
+
+        loss_1, (pos_num_1, pos_mean_1) = pixpro_pair_loss(
+            pred_1, proj_2_ng, coord1, coord2, self.pixpro_pos_ratio,
+            flow=flow_fwd, flow_mask=mask_fwd)
+        loss_2, (pos_num_2, pos_mean_2) = pixpro_pair_loss(
+            pred_2, proj_1_ng, coord2, coord1, self.pixpro_pos_ratio,
+            flow=flow_bwd, flow_mask=mask_bwd)
+        loss = loss_1 + loss_2
+
+        stats = {
+            "pos_num_1": pos_num_1, "pos_mean_1": pos_mean_1,
+            "pos_num_2": pos_num_2, "pos_mean_2": pos_mean_2,
+        }
+
+        if self.pixpro_ins_loss_weight > 0.0:
+            inst_1_ng = jax.lax.stop_gradient(inst_1_ng)
+            inst_2_ng = jax.lax.stop_gradient(inst_2_ng)
+            li = instance_loss(inst_1, inst_2_ng) + instance_loss(inst_2, inst_1_ng)
+            loss = loss + self.pixpro_ins_loss_weight * li
+            stats["loss_instance"] = li
+
+        return loss, stats

@@ -15,6 +15,8 @@ Conventions:
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -131,7 +133,7 @@ def forward_backward_consistency(
     bwd_interp_n = grid_sample(bwd_n, coords1_n)
     cycle_n = fwd_n + bwd_interp_n
 
-    alpha_2 = alpha_2 / float(jnp.sqrt(jnp.asarray(h**2 + w**2, jnp.float32)))
+    alpha_2 = alpha_2 / math.sqrt(h * h + w * w)
     cycle_sq = jnp.sum(cycle_n**2, axis=-1)
     eps = alpha_1 * (jnp.sum(fwd_n**2, axis=-1) + jnp.sum(bwd_interp_n**2, axis=-1)) + alpha_2
 

@@ -176,8 +176,13 @@ def resize_align_corners(img: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray
         return img
     ah = _interp_matrix(h, h2, img.dtype)  # [H2, H]
     aw = _interp_matrix(w, w2, img.dtype)  # [W2, W]
-    out = jnp.einsum("oh,bhwc->bowc", ah, img, preferred_element_type=img.dtype)
-    out = jnp.einsum("pw,bowc->bopc", aw, out, preferred_element_type=img.dtype)
+    # flow-geometry math needs full f32 accuracy: don't let the MXU default
+    # to bf16 inputs for these interpolation matmuls.
+    hi = jax.lax.Precision.HIGHEST
+    out = jnp.einsum("oh,bhwc->bowc", ah, img, precision=hi,
+                     preferred_element_type=img.dtype)
+    out = jnp.einsum("pw,bowc->bopc", aw, out, precision=hi,
+                     preferred_element_type=img.dtype)
     return out
 
 

@@ -1,0 +1,133 @@
+"""The compiled PixPro train step.
+
+One `jit(shard_map(...))` program per config containing everything the
+reference does per iteration across Python/DDP/NCCL boundaries
+(`main_pretrain.py:213-269` + `PixPro.forward` + `util.apply_optical_flow`):
+
+    flow upsample -> long-range composition -> cycle masks ->
+    cosine-ramped EMA update (pre-key-forward, reference ordering) ->
+    4x encoder forwards + PPM -> pixel-pair loss ->
+    grad pmean over the data mesh -> LARS/SGD update -> metrics.
+
+Host work per step is reduced to feeding image/coord/flow arrays."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from ..models.pixpro import ema_update, momentum_schedule
+from ..ops.flow import compose_and_mask, mask_ratio
+from ..parallel.mesh import DATA_AXIS, shard_map_fn
+
+
+def make_train_step(
+    model,
+    tx,
+    *,
+    lr_schedule,
+    ema_total_steps: int,
+    ema_base_momentum: float,
+    mesh=None,
+    use_flow: bool = False,
+    flow_up: bool = False,
+    flow_cat_norm: bool = False,
+    use_flow_frames: bool = False,
+    alpha1: Optional[float] = None,
+    alpha2: Optional[float] = None,
+    raft_fn=None,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    batch dict fields:
+        im1, im2      [B, H, W, 3] float32 (normalized)
+        coord1, coord2 [B, 10]
+        flows_fwd, flows_bwd [B, K, h, w, 2]   (use_flow + flow files)
+        frames        [B, n, H, W, 3] uint8    (use_flow + on-the-fly RAFT)
+    Returns step_fn(state, batch) -> (new_state, metrics).
+    """
+    if use_flow_frames:
+        raise NotImplementedError(
+            "multi-span flow-frames training is not wired into the step yet "
+            "(the reference's checked-in version of this path crashes on a "
+            "missing calc_frame_ratio; see SURVEY.md §4.6)")
+
+    axis = DATA_AXIS if mesh is not None else model.axis_name
+
+    def step_fn(state, batch):
+        # EMA update of the momentum branch with the *pre-step* online params,
+        # before the key forward (reference `PixPro.py:398-399,321-337`).
+        m = momentum_schedule(state.ema_k, ema_total_steps, ema_base_momentum)
+        params = ema_update(state.params, m)
+
+        flow_fwd = flow_bwd = mask_fwd = mask_bwd = None
+        if use_flow:
+            if raft_fn is not None:
+                flows_fwd, flows_bwd = raft_fn(batch["frames"])
+            else:
+                flows_fwd, flows_bwd = batch["flows_fwd"], batch["flows_bwd"]
+            flow_fwd, flow_bwd, mask_fwd, mask_bwd = compose_and_mask(
+                flows_fwd, flows_bwd, flow_up=flow_up,
+                use_flow_frames=False, alpha_1=alpha1, alpha_2=alpha2,
+                is_norm=flow_cat_norm)
+
+        def loss_fn(p):
+            variables = {"params": p, "batch_stats": state.batch_stats}
+            (loss, stats), mut = model.apply(
+                variables,
+                batch["im1"], batch["im2"], batch["coord1"], batch["coord2"],
+                flow_fwd, flow_bwd, mask_fwd, mask_bwd,
+                train=True, mutable=["batch_stats"])
+            return loss, (stats, mut["batch_stats"])
+
+        (loss, (stats, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+
+        if axis is not None:
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        # metrics (aggregated on-device; reference `main_pretrain.py:280-307`)
+        pos_num = jnp.sum(stats["pos_num_1"]) + jnp.sum(stats["pos_num_2"])
+        pos_mean = (jnp.mean(stats["pos_mean_1"])
+                    + jnp.mean(stats["pos_mean_2"])) / 2.0
+        metrics = {
+            "loss": loss,
+            "lr": lr_schedule(state.step),
+            "ema_momentum": m,
+            "pos_num": pos_num,
+            "pos_mean": pos_mean,
+        }
+        if mask_fwd is not None:
+            metrics["mask_ratio_fwd"] = jnp.mean(mask_ratio(mask_fwd))
+            metrics["mask_ratio_bwd"] = jnp.mean(mask_ratio(mask_bwd))
+        if axis is not None:
+            metrics["pos_num"] = jax.lax.psum(metrics["pos_num"], axis)
+            for k in ("pos_mean", "mask_ratio_fwd", "mask_ratio_bwd"):
+                if k in metrics:
+                    metrics[k] = jax.lax.pmean(metrics[k], axis)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            ema_k=state.ema_k + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    if mesh is not None:
+        step_fn = shard_map_fn(
+            step_fn, mesh,
+            in_specs=(P(), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -1,12 +1,14 @@
 """Test harness: force JAX onto CPU with 8 virtual devices so multi-chip
-sharding logic is exercised without TPU hardware."""
+sharding logic is exercised without TPU hardware.
+
+Note: the axon TPU plugin ignores the JAX_PLATFORMS env var, so the platform
+must be forced through jax.config before any computation."""
 
 import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 # Persistent compilation cache: this box has one CPU core, so re-compiles
 # dominate test wall-clock without it.
@@ -14,3 +16,7 @@ _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.abspath(_cache_dir))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,185 @@
+"""Data pipeline tests over a synthetic BDD100k-shaped dataset."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pixflow_tpu.data import (
+    get_transform, VideoFrameDataset, list_image_folder, ShardedLoader,
+)
+from pixflow_tpu.data.datasets import mirrored_window, frame_stats, load_flow_file
+from pixflow_tpu.data.transforms import (
+    IMAGENET_MEAN, IMAGENET_STD, RandomResizedCropCoord,
+)
+
+N_VIDEOS, N_FRAMES_PER_VIDEO = 4, 8
+FRAME_H, FRAME_W = 64, 80
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bdd")
+    train = root / "train"
+    rng = np.random.default_rng(0)
+    for v in range(N_VIDEOS):
+        vd = train / f"video{v:03d}"
+        vd.mkdir(parents=True)
+        for f in range(N_FRAMES_PER_VIDEO):
+            arr = rng.integers(0, 255, (FRAME_H, FRAME_W, 3), np.uint8)
+            Image.fromarray(arr).save(vd / f"frame{f:04d}.jpg")
+    # flow files: [num_flow, 2, h/8, w/8] torch tensors
+    import torch
+    for d in ("forward", "backward"):
+        (root / "flow" / "pth" / "train" / d).mkdir(parents=True)
+    for v in range(N_VIDEOS):
+        for d in ("forward", "backward"):
+            flow = torch.arange(
+                (N_FRAMES_PER_VIDEO - 1) * 2 * 8 * 10, dtype=torch.float32
+            ).reshape(N_FRAMES_PER_VIDEO - 1, 2, 8, 10)
+            torch.save(flow, root / "flow" / "pth" / "train" / d / f"video{v:03d}.pth")
+    return str(root)
+
+
+def test_list_image_folder_video_mode(synth_root):
+    videos = list_image_folder(os.path.join(synth_root, "train"), "bdd100k")
+    assert len(videos) == N_VIDEOS
+    assert len(videos[0]) == N_FRAMES_PER_VIDEO
+    # frames sorted within each video
+    names = [os.path.basename(p) for p, _ in videos[0]]
+    assert names == sorted(names)
+
+
+def test_crop_coord_contract():
+    t = RandomResizedCropCoord(32, scale=(0.2, 1.0))
+    img = Image.new("RGB", (FRAME_W, FRAME_H))
+    rng = random.Random(0)
+    out, coord = t(img, rng)
+    assert out.size == (32, 32)
+    j, i, w, h, W, H = coord[4:]
+    assert W == FRAME_W and H == FRAME_H
+    np.testing.assert_allclose(coord[0], j / (W - 1), rtol=1e-6)
+    np.testing.assert_allclose(coord[2], (j + w - 1) / (W - 1), rtol=1e-6)
+    assert 0 <= coord[0] < coord[2] <= 1.0
+
+
+def test_hflip_swaps_x_extent():
+    from pixflow_tpu.data.transforms import RandomHorizontalFlipCoord
+    f = RandomHorizontalFlipCoord(p=1.0)
+    img = Image.new("RGB", (16, 16))
+    coord = np.array([0.1, 0.2, 0.6, 0.7, 0, 0, 0, 0, 16, 16], np.float32)
+    _, c = f(img, coord, random.Random(0))
+    assert c[0] == np.float32(0.6) and c[2] == np.float32(0.1)
+    assert c[1] == np.float32(0.2)  # y untouched
+
+
+def test_byol_transform_pair_outputs(synth_root):
+    t1, t2 = get_transform("BYOL", 0.2, image_size=32)
+    img = Image.open(os.path.join(synth_root, "train", "video000",
+                                  "frame0000.jpg")).convert("RGB")
+    rng = random.Random(0)
+    a1, c1 = t1(img, rng)
+    a2, c2 = t2(img, rng)
+    assert a1.shape == (32, 32, 3) and a1.dtype == np.float32
+    assert c1.shape == (10,)
+    # normalized: a plain gray image would sit near -mean/std
+    assert np.abs(a1).max() < 5.0
+
+
+@pytest.mark.parametrize("aug", ["NULL", "InstDisc", "MoCov2", "SimCLR",
+                                 "RandAug"])
+def test_all_aug_recipes_run(aug, synth_root):
+    t = get_transform(aug, 0.2, image_size=32)
+    img = Image.open(os.path.join(synth_root, "train", "video000",
+                                  "frame0000.jpg")).convert("RGB")
+    arr, coord = t(img, random.Random(1))
+    assert arr.shape == (32, 32, 3)
+    assert coord is not None
+
+
+def test_val_transform():
+    t = get_transform("val", 0.2, image_size=32)
+    img = Image.new("RGB", (100, 60))
+    arr, coord = t(img)
+    assert arr.shape == (32, 32, 3)
+    assert coord is None
+
+
+def test_mirrored_window():
+    # reference `calc_bwd_idx`: bwd_n = num - s; bwd_s = bwd_n - span
+    assert mirrored_window(0, 5, 7) == (2, 7)
+    assert mirrored_window(2, 3, 7) == (4, 5)
+
+
+def test_video_dataset_flow_slices(synth_root):
+    t = get_transform("BYOL", 0.2, image_size=32)
+    videos = list_image_folder(os.path.join(synth_root, "train"), "bdd100k")
+    ds = VideoFrameDataset(
+        samples=videos, transform=t, n_frames=6, two_crop=True,
+        flow_fwd_root=os.path.join(synth_root, "flow/pth/train/forward"),
+        flow_bwd_root=os.path.join(synth_root, "flow/pth/train/backward"))
+    s = ds.__getitem__(0, random.Random(3))
+    assert s["im1"].shape == (32, 32, 3)
+    assert s["flows_fwd"].shape == (5, 8, 10, 2)
+    assert s["flows_bwd"].shape == (5, 8, 10, 2)
+    assert int(s["n_frames_eff"]) == 6
+    # flow slice content: fwd window [start, start+5) of the arange tensor
+    fwd_full, num = load_flow_file(
+        os.path.join(synth_root, "flow/pth/train/forward/video000.pth"), 0, 7)
+    assert num == 7
+    start = int(np.where(
+        np.all(fwd_full.reshape(7, -1) == s["flows_fwd"][0].reshape(-1), axis=1))[0][0])
+    bs, bn = mirrored_window(start, start + 5, 7)
+    bwd_full, _ = load_flow_file(
+        os.path.join(synth_root, "flow/pth/train/backward/video000.pth"), bs, bn)
+    np.testing.assert_array_equal(s["flows_bwd"], bwd_full)
+
+
+def test_short_video_zero_pads_flows(synth_root):
+    t = get_transform("BYOL", 0.2, image_size=32)
+    videos = list_image_folder(os.path.join(synth_root, "train"), "bdd100k")
+    ds = VideoFrameDataset(
+        samples=videos, transform=t, n_frames=12, two_crop=True,  # > 8 frames
+        flow_fwd_root=os.path.join(synth_root, "flow/pth/train/forward"),
+        flow_bwd_root=os.path.join(synth_root, "flow/pth/train/backward"))
+    s = ds.__getitem__(1, random.Random(0))
+    assert int(s["n_frames_eff"]) == N_FRAMES_PER_VIDEO
+    assert s["flows_fwd"].shape == (11, 8, 10, 2)
+    # entries beyond the real 7 flows are identity (zeros)
+    np.testing.assert_array_equal(s["flows_fwd"][7:], 0.0)
+
+
+def test_sharded_loader_partition_and_determinism(synth_root):
+    t = get_transform("NULL", 0.2, image_size=32)
+    videos = list_image_folder(os.path.join(synth_root, "train"), "bdd100k")
+    ds = VideoFrameDataset(samples=videos, transform=t, n_frames=1,
+                           two_crop=True)
+    loaders = [ShardedLoader(ds, 4, num_hosts=2, host_id=h, seed=1,
+                             num_threads=1) for h in range(2)]
+    seen = []
+    for ld in loaders:
+        for batch in ld.epoch(0):
+            assert batch["im1"].shape == (2, 32, 32, 3)
+            seen.extend(batch["index"].tolist())
+    assert sorted(seen) == list(range(N_VIDEOS))  # disjoint cover
+
+    # same (seed, epoch) -> identical stream
+    a = [b["index"].tolist() for b in loaders[0].epoch(5)]
+    b = [b["index"].tolist() for b in loaders[0].epoch(5)]
+    assert a == b
+    c = [b["index"].tolist() for b in loaders[0].epoch(6)]
+    assert a != c or N_VIDEOS <= 2
+
+
+def test_frame_stats_definition():
+    mean_f, no_flow, per = frame_stats(np.array([1, 6, 6, 6]), 6)
+    assert mean_f == pytest.approx(4.75)
+    assert no_flow == pytest.approx(0.25)
+    assert per[0][1] == 1 and per[5][1] == 3
+
+
+def test_normalization_constants():
+    np.testing.assert_allclose(IMAGENET_MEAN, [0.485, 0.456, 0.406])
+    np.testing.assert_allclose(IMAGENET_STD, [0.229, 0.224, 0.225])
