@@ -97,10 +97,14 @@ def test_cycle_consistency_perfect_flow_is_trusted():
     mask = np.asarray(forward_backward_consistency(
         jnp.asarray(fwd), jnp.asarray(bwd), alpha_1=0.01, alpha_2=0.5))
     assert mask.shape == (b, h, w)
-    # all pixels whose +2px target stays strictly in bounds are trusted
-    assert mask[0, :, :w - 2].all()
-    # pixels that warp out of frame are not
-    assert not mask[0, :, w - 2:].any()
+    # interior pixels whose +2px target stays strictly in bounds are trusted
+    # (rows 0 and h-1 sit exactly at |y|=1 and fail the strict bound, same
+    # as the reference's `< 1` check)
+    # (pixel w-3 lands exactly on the last column, |x|=1, also rejected)
+    assert mask[0, 1:h - 1, :w - 3].all()
+    assert not mask[0, 0].any() and not mask[0, h - 1].any()
+    # pixels that warp onto or past the frame edge are not trusted
+    assert not mask[0, :, w - 3:].any()
 
 
 def test_cycle_consistency_inconsistent_flow_is_rejected():
@@ -121,7 +125,10 @@ def test_cycle_consistency_alpha2_tolerance_scale():
     bwd = np.zeros((b, h, w, 2), np.float32)
     mask_tight = np.asarray(forward_backward_consistency(
         jnp.asarray(fwd), jnp.asarray(bwd), 0.01, 0.5))
-    assert mask_tight.all()  # zero flow, zero residual
+    # zero flow, zero residual: all interior pixels pass; exact-boundary
+    # pixels sit at |coord|=1 and fail the strict in-bounds check
+    assert mask_tight[0, 1:-1, 1:-1].all()
+    assert not mask_tight[0, 0].any()
 
 
 def test_compose_and_mask_headline_path():
