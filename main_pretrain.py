@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""PixPro(+optical-flow) pretraining CLI.
+
+Flag surface mirrors reference `main_pretrain.py` + `contrast/option.py`
+(pre-train stage) so existing job scripts translate 1:1; TPU-specific
+additions: --recipe (named configs replacing the tools/*.sh env-var recipes),
+--compute-dtype, --mesh-shape. No --local_rank: process topology comes from
+the JAX runtime (`jax.distributed.initialize` on multi-host)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from pixflow_tpu.configs import PretrainConfig, get_recipe, RECIPES
+
+
+def parse_args() -> PretrainConfig:
+    p = argparse.ArgumentParser("pixflow-tpu pre-train stage")
+
+    p.add_argument("--recipe", type=str, default="",
+                   help=f"named recipe from {sorted(RECIPES)}")
+
+    # dataset
+    p.add_argument("--data-dir", type=str, default="./data")
+    p.add_argument("--crop", type=float, default=0.08)
+    p.add_argument("--crop-ratio", nargs=2, type=float, default=[3 / 4, 4 / 3])
+    p.add_argument("--aug", type=str, default="BYOL",
+                   choices=["NULL", "InstDisc", "MoCov2", "SimCLR", "RandAug",
+                            "BYOL", "val"])
+    p.add_argument("--zip", action="store_true")
+    p.add_argument("--cache-mode", type=str, default="part",
+                   choices=["no", "full", "part"])
+    p.add_argument("--dataset", type=str, default="bdd100k",
+                   choices=["ImageNet", "bdd100k"])
+    p.add_argument("--ann-file", type=str, default="")
+    p.add_argument("--image-size", nargs="+", type=int, default=[224])
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--n-frames", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=64,
+                   help="per-replica batch size")
+
+    # flow / RAFT
+    p.add_argument("--use_flow", action="store_true")
+    p.add_argument("--flow_model", type=str, default="")
+    p.add_argument("--flow_up", action="store_true")
+    p.add_argument("--alpha1", type=float, default=None)
+    p.add_argument("--alpha2", type=float, default=None)
+    p.add_argument("--flow_cat_norm", action="store_true")
+    p.add_argument("--flow_bs", type=int, default=None)
+    p.add_argument("--use_flow_frames", action="store_true")
+    p.add_argument("--use_flow_file", action="store_true")
+    p.add_argument("--flow_root", type=str, default="")
+    p.add_argument("--fwd_name", type=str, default="forward")
+    p.add_argument("--bwd_name", type=str, default="backward")
+
+    # model
+    p.add_argument("--model", type=str, default="PixPro")
+    p.add_argument("--arch", type=str, default="resnet50")
+    p.add_argument("--feature-dim", type=int, default=256)
+
+    # optimization
+    p.add_argument("--base-learning-rate", "--base-lr", dest="base_lr",
+                   type=float, default=1.0)
+    p.add_argument("--optimizer", type=str, default="lars",
+                   choices=["sgd", "lars"])
+    p.add_argument("--lr-scheduler", type=str, default="cosine",
+                   choices=["step", "cosine"])
+    p.add_argument("--warmup-epoch", type=int, default=5)
+    p.add_argument("--warmup-multiplier", type=float, default=100)
+    p.add_argument("--lr-decay-epochs", type=int, nargs="+",
+                   default=[120, 160, 200])
+    p.add_argument("--lr-decay-rate", type=float, default=0.1)
+    p.add_argument("--weight-decay", type=float, default=1e-5)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--start-epoch", type=int, default=1)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--debug-epochs", type=int, default=None)
+
+    # pixpro
+    p.add_argument("--pixpro-p", type=float, default=1.0)
+    p.add_argument("--pixpro-momentum", type=float, default=0.99)
+    p.add_argument("--pixpro-pos-ratio", type=float, default=0.7)
+    p.add_argument("--pixpro-clamp-value", type=float, default=0.0)
+    p.add_argument("--pixpro-transform-layer", type=int, default=0)
+    p.add_argument("--pixpro-ins-loss-weight", type=float, default=0.0)
+
+    # misc
+    p.add_argument("--output-dir", type=str, default="./output")
+    p.add_argument("--auto-resume", action="store_true")
+    p.add_argument("--resume", type=str, default="")
+    p.add_argument("--pretrained-model", type=str, default="")
+    p.add_argument("--print-freq", type=int, default=100)
+    p.add_argument("--save-freq", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+
+    # TPU-native
+    p.add_argument("--compute-dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="bf16 compute replaces apex AMP O1; float32 = O0")
+    p.add_argument("--mesh-shape", type=int, default=None,
+                   help="number of devices in the data mesh (default: all)")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() before anything")
+
+    a = p.parse_args()
+
+    cfg = get_recipe(a.recipe) if a.recipe else PretrainConfig()
+    d, f, m, o, r = cfg.data, cfg.flow, cfg.model, cfg.optim, cfg.runtime
+
+    defaults = p.parse_args([] if not a.recipe else ["--recipe", a.recipe])
+    def given(name):  # only override recipe values for explicitly-passed flags
+        return getattr(a, name) != getattr(defaults, name)
+
+    for field_, dst, attr in [
+        ("data_dir", d, "data_dir"), ("crop", d, "crop"),
+        ("aug", d, "aug"), ("cache_mode", d, "cache_mode"),
+        ("dataset", d, "dataset"), ("ann_file", d, "ann_file"),
+        ("num_workers", d, "num_workers"), ("n_frames", d, "n_frames"),
+        ("batch_size", d, "batch_size"),
+        ("flow_model", f, "flow_model"), ("alpha1", f, "alpha1"),
+        ("alpha2", f, "alpha2"), ("flow_bs", f, "flow_bs"),
+        ("flow_root", f, "flow_root"), ("fwd_name", f, "fwd_name"),
+        ("bwd_name", f, "bwd_name"),
+        ("arch", m, "arch"), ("feature_dim", m, "feature_dim"),
+        ("pixpro_p", m, "pixpro_p"), ("pixpro_momentum", m, "pixpro_momentum"),
+        ("pixpro_pos_ratio", m, "pixpro_pos_ratio"),
+        ("pixpro_clamp_value", m, "pixpro_clamp_value"),
+        ("pixpro_transform_layer", m, "pixpro_transform_layer"),
+        ("pixpro_ins_loss_weight", m, "pixpro_ins_loss_weight"),
+        ("base_lr", o, "base_lr"), ("optimizer", o, "optimizer"),
+        ("lr_scheduler", o, "lr_scheduler"), ("warmup_epoch", o, "warmup_epoch"),
+        ("warmup_multiplier", o, "warmup_multiplier"),
+        ("lr_decay_epochs", o, "lr_decay_epochs"),
+        ("lr_decay_rate", o, "lr_decay_rate"),
+        ("weight_decay", o, "weight_decay"), ("momentum", o, "momentum"),
+        ("start_epoch", o, "start_epoch"), ("epochs", o, "epochs"),
+        ("output_dir", r, "output_dir"), ("auto_resume", r, "auto_resume"),
+        ("resume", r, "resume"), ("pretrained_model", r, "pretrained_model"),
+        ("print_freq", r, "print_freq"), ("save_freq", r, "save_freq"),
+        ("seed", r, "seed"), ("debug", r, "debug"),
+        ("debug_epochs", r, "debug_epochs"), ("verbose", r, "verbose"),
+        ("compute_dtype", r, "compute_dtype"), ("mesh_shape", r, "mesh_shape"),
+    ]:
+        if not a.recipe or given(field_):
+            setattr(dst, attr, getattr(a, field_))
+
+    if not a.recipe or given("crop_ratio"):
+        d.crop_ratio = tuple(a.crop_ratio)
+    if not a.recipe or given("image_size"):
+        d.image_size = a.image_size[0]
+    if not a.recipe or given("zip"):
+        d.zip_mode = a.zip
+    for flag in ("use_flow", "use_flow_file", "flow_up", "flow_cat_norm",
+                 "use_flow_frames"):
+        if not a.recipe or given(flag):
+            setattr(f, flag, getattr(a, flag))
+
+    # infer RAFT-small from the checkpoint name, like reference option.py:109-113
+    if f.flow_model and "small" in os.path.basename(f.flow_model):
+        f.small = True
+
+    cfg._multihost = a.multihost
+    return cfg
+
+
+def main():
+    cfg = parse_args()
+    if getattr(cfg, "_multihost", False):
+        import jax
+        jax.distributed.initialize()
+    from pixflow_tpu.train.driver import train
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

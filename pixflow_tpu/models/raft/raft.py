@@ -1,0 +1,157 @@
+"""RAFT optical-flow network in Flax with a lax.scan refinement loop.
+
+Capability parity with the reference's vendored RAFT
+(`contrast/flow/raft.py`): small (hdim 96 / cdim 64, r=3) and basic
+(128/128, r=4) variants, 4-level all-pairs correlation pyramid, GRU
+iterative refinement with per-iteration stop-gradient on the coordinates
+(`raft.py:140-141`), convex upsampling for the basic variant / upflow8 for
+small. Inference-only here: pretraining uses it as a frozen flow oracle
+(`main_pretrain.py:55-57`)."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.resample import coords_grid, upflow8
+from .corr import build_corr_pyramid, lookup_corr
+from .extractor import Encoder
+from .update import BasicUpdateBlock, SmallUpdateBlock
+
+
+def convex_upsample_flow(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Convex-combination 8x upsampling (reference `raft.py:85-96`).
+
+    flow: [B, H, W, 2]; mask: [B, H, W, 64*9] (conv output, channel layout
+    (9, 8, 8) like the torch view). Returns [B, 8H, 8W, 2]."""
+    b, h, w, _ = flow.shape
+    mask = mask.reshape(b, h, w, 9, 8, 8)
+    mask = jax.nn.softmax(mask, axis=3)
+
+    f8 = 8.0 * flow
+    pad = jnp.pad(f8, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # 3x3 neighborhood, (dy, dx) raster order = torch unfold order
+    patches = jnp.stack([
+        pad[:, dy:dy + h, dx:dx + w, :]
+        for dy in range(3) for dx in range(3)
+    ], axis=3)  # [B, H, W, 9, 2]
+
+    up = jnp.einsum("bhwkpq,bhwkc->bhwpqc", mask, patches,
+                    preferred_element_type=jnp.float32)
+    up = up.transpose(0, 1, 3, 2, 4, 5)  # [B, H, 8, W, 8, 2]
+    return up.reshape(b, 8 * h, 8 * w, 2)
+
+
+class RAFT(nn.Module):
+    small: bool = False
+    corr_levels: int = 4
+    dtype: Any = jnp.float32
+
+    @property
+    def corr_radius(self) -> int:
+        return 3 if self.small else 4
+
+    @property
+    def hidden_dim(self) -> int:
+        return 96 if self.small else 128
+
+    @property
+    def context_dim(self) -> int:
+        return 64 if self.small else 128
+
+    @nn.compact
+    def __call__(self, image1, image2, iters: int = 12,
+                 flow_init: Optional[jnp.ndarray] = None):
+        """image1, image2: [B, H, W, 3] in [0, 255] (uint8 or float).
+        Returns (flow_low [B, H/8, W/8, 2], flow_up [B, H, W, 2]) — the
+        reference's test_mode output pair (`raft.py:159-160`)."""
+        hdim, cdim = self.hidden_dim, self.context_dim
+        corr_ch = self.corr_levels * (2 * self.corr_radius + 1) ** 2
+
+        image1 = 2.0 * (image1.astype(self.dtype) / 255.0) - 1.0
+        image2 = 2.0 * (image2.astype(self.dtype) / 255.0) - 1.0
+
+        fnet = Encoder(output_dim=128 if self.small else 256,
+                       norm_fn="instance", small=self.small,
+                       dtype=self.dtype, name="fnet")
+        cnet = Encoder(output_dim=hdim + cdim,
+                       norm_fn="none" if self.small else "batch",
+                       small=self.small, dtype=self.dtype, name="cnet")
+        if self.small:
+            update = SmallUpdateBlock(corr_ch, hdim, self.dtype,
+                                      name="update_block")
+        else:
+            update = BasicUpdateBlock(corr_ch, hdim, self.dtype,
+                                      name="update_block")
+
+        # shared feature pass over both frames (batch-concat like the
+        # reference's list input, `extractor.py:176-179`)
+        fmaps = fnet(jnp.concatenate([image1, image2], axis=0))
+        fmap1, fmap2 = jnp.split(fmaps.astype(jnp.float32), 2, axis=0)
+        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
+
+        c = cnet(image1)
+        net = jnp.tanh(c[..., :hdim])
+        inp = nn.relu(c[..., hdim:])
+
+        b, h8, w8, _ = fmap1.shape
+        coords0 = jnp.broadcast_to(coords_grid(h8, w8)[None], (b, h8, w8, 2))
+        coords1 = coords0 if flow_init is None else coords0 + flow_init
+
+        # static refinement loop; re-calling the same named submodule shares
+        # its parameters across iterations (the GRU weights are tied)
+        up_mask = None
+        for _ in range(iters):
+            coords1 = jax.lax.stop_gradient(coords1)
+            corr = lookup_corr(pyramid, coords1, self.corr_radius)
+            flow = coords1 - coords0
+            net, up_mask, delta = update(net, inp, corr.astype(self.dtype),
+                                         flow.astype(self.dtype))
+            coords1 = coords1 + delta.astype(jnp.float32)
+
+        flow_low = coords1 - coords0
+        if up_mask is None or self.small:
+            flow_up = upflow8(flow_low)
+        else:
+            flow_up = convex_upsample_flow(flow_low,
+                                           up_mask.astype(jnp.float32))
+        return flow_low, flow_up
+
+
+def raft_batch_flows(model: RAFT, variables, frames: jnp.ndarray,
+                     iters: int = 12, up: bool = False,
+                     micro_batch: Optional[int] = None):
+    """Frozen-RAFT flow stacks for the live (non-file) pretraining path.
+
+    frames: [B, n, H, W, 3] uint8. Runs RAFT over consecutive pairs forward
+    and backward (reference `util.calc_optical_flow`, `util.py:77-102`;
+    micro-batching replaces `mem_reduce_calc_optical_flow`). Returns
+    (flows_fwd, flows_bwd): [B, n-1, h, w, 2] with h, w = H/8, W/8 (or full
+    res when up=True, the reference's `--flow_up` for live RAFT).
+    """
+    b, n, H, W, _ = frames.shape
+    assert n >= 2, "need at least two frames for flow"
+    idx = 1 if up else 0
+
+    def pair_flow(im1, im2):
+        out = model.apply(variables, im1, im2, iters=iters)
+        return jax.lax.stop_gradient(out[idx])
+
+    def chunk_flows(fr):  # [bc, n, H, W, 3]
+        fwd = [pair_flow(fr[:, i], fr[:, i + 1]) for i in range(n - 1)]
+        bwd = [pair_flow(fr[:, i + 1], fr[:, i]) for i in range(n - 1)]
+        # backward stack in reversed-pair order (reference util.py:88-91)
+        return jnp.stack(fwd, 1), jnp.stack(bwd[::-1], 1)
+
+    if micro_batch is None or micro_batch >= b:
+        return chunk_flows(frames)
+
+    assert b % micro_batch == 0, "flow_bs must divide the batch"
+    chunks = frames.reshape(b // micro_batch, micro_batch, n, H, W, 3)
+    fwd, bwd = jax.lax.map(chunk_flows, chunks)
+    # [n_chunks, micro, n-1, h, w, 2] -> [B, n-1, h, w, 2]
+    return (fwd.reshape(b, *fwd.shape[2:]), bwd.reshape(b, *bwd.shape[2:]))

@@ -30,7 +30,8 @@ from .resample import (
 )
 
 
-def concat_flow(flows: jnp.ndarray, is_norm: bool = False) -> jnp.ndarray:
+def concat_flow(flows: jnp.ndarray, is_norm: bool = False,
+                upsample8: bool = False) -> jnp.ndarray:
     """Compose K consecutive flows into one long-range flow (paper Eq. 1).
 
     flows: [K, B, H, W, 2]. Iteratively advects a coordinate grid: the k-th
@@ -39,10 +40,17 @@ def concat_flow(flows: jnp.ndarray, is_norm: bool = False) -> jnp.ndarray:
 
     With is_norm=True, inputs and output are in normalized units and the
     accumulation runs in normalized space (reference `flow_cat_norm` path).
+
+    With upsample8=True, each flow is 8x-upsampled *inside* the scan before
+    being sampled (mathematically identical to upflow8-then-compose, but only
+    one full-resolution field is live at a time — the reference materializes
+    all K upsampled flows up front, `contrast/util.py:185-191`).
     """
     k, b, h, w, _ = flows.shape
+    if upsample8:
+        h, w = 8 * h, 8 * w
     if k == 1:
-        out = flows[0]
+        out = upflow8(flows[0]) if upsample8 else flows[0]
         return normalize_flow(out, h, w) if is_norm else out
 
     base = jnp.broadcast_to(coords_grid(h, w, flows.dtype)[None], (b, h, w, 2))
@@ -51,6 +59,8 @@ def concat_flow(flows: jnp.ndarray, is_norm: bool = False) -> jnp.ndarray:
         coords0 = normalize_coords(base, h, w)
 
         def step(coords1, flow):
+            if upsample8:
+                flow = upflow8(flow)
             flow_n = normalize_flow(flow, h, w)
             sampled = grid_sample(flow_n, coords1)
             return coords1 + sampled, None
@@ -59,6 +69,8 @@ def concat_flow(flows: jnp.ndarray, is_norm: bool = False) -> jnp.ndarray:
         return coords1 - coords0
 
     def step(coords1, flow):
+        if upsample8:
+            flow = upflow8(flow)
         grid = normalize_coords(coords1, h, w)
         sampled = grid_sample(flow, grid)
         return coords1 + sampled, None
@@ -72,6 +84,7 @@ def all_concat_flow(
     flow_bwds: jnp.ndarray,
     is_norm: bool = False,
     use_flow_frames: bool = True,
+    upsample8: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Every (span, start) composition of K consecutive flows.
 
@@ -82,8 +95,8 @@ def all_concat_flow(
     `contrast/util.py:105-126`).
     """
     if not use_flow_frames:
-        fwd = concat_flow(flow_fwds, is_norm)[None]
-        bwd = concat_flow(flow_bwds, is_norm)[None]
+        fwd = concat_flow(flow_fwds, is_norm, upsample8)[None]
+        bwd = concat_flow(flow_bwds, is_norm, upsample8)[None]
         return fwd, bwd
 
     k = flow_fwds.shape[0]
@@ -92,8 +105,10 @@ def all_concat_flow(
         span = span_m1 + 1
         for s in range(k - span + 1):
             bwd_end = k - s
-            fwd_list.append(concat_flow(flow_fwds[s:s + span], is_norm))
-            bwd_list.append(concat_flow(flow_bwds[bwd_end - span:bwd_end], is_norm))
+            fwd_list.append(concat_flow(flow_fwds[s:s + span], is_norm,
+                                        upsample8))
+            bwd_list.append(concat_flow(flow_bwds[bwd_end - span:bwd_end],
+                                        is_norm, upsample8))
     return jnp.stack(fwd_list), jnp.stack(bwd_list)
 
 
@@ -171,12 +186,11 @@ def compose_and_mask(
     fwd = jnp.transpose(flows_fwd, (1, 0, 2, 3, 4))  # [K, B, h, w, 2]
     bwd = jnp.transpose(flows_bwd, (1, 0, 2, 3, 4))
 
-    if flow_up:
-        fwd = upflow8(fwd.reshape(k * b, h, w, 2)).reshape(k, b, 8 * h, 8 * w, 2)
-        bwd = upflow8(bwd.reshape(k * b, h, w, 2)).reshape(k, b, 8 * h, 8 * w, 2)
-
+    # flow_up (reference upflow8-then-compose) runs fused inside the
+    # composition scan: one full-res field live at a time instead of K.
     fwd_s, bwd_s = all_concat_flow(fwd, bwd, is_norm=is_norm,
-                                   use_flow_frames=use_flow_frames)
+                                   use_flow_frames=use_flow_frames,
+                                   upsample8=flow_up)
 
     mask_fwd = mask_bwd = None
     if alpha_1 is not None and alpha_2 is not None:

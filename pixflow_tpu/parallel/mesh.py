@@ -29,6 +29,17 @@ except AttributeError:  # pragma: no cover - older jax
 DATA_AXIS = "data"
 
 
+def enable_compilation_cache(path: str = "~/.cache/pixflow_jax_cache") -> None:
+    """Persistent XLA compilation cache (big programs on a slow frontend
+    host recompile in minutes without it)."""
+    import os
+
+    path = os.path.expanduser(path)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def make_data_mesh(n_devices: Optional[int] = None,
                    devices=None) -> Mesh:
     """1-D data-parallel mesh over the first n_devices devices."""

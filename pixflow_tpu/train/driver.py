@@ -1,0 +1,186 @@
+"""Pretraining driver: config -> loader -> mesh -> compiled step -> epochs.
+
+The TPU-native counterpart of reference `main_pretrain.py:130-412`
+(main/main_prog/train): builds the data-parallel mesh, the PixPro model with
+cross-replica BN, the LARS/SGD optimizer with linear LR scaling, the jitted
+train step, then runs the epoch loop with auto-resume, checkpointing, and
+per-step metric logging."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..configs import PretrainConfig
+from ..data import build_pretrain_loader
+from ..models import PixPro
+from ..parallel import make_data_mesh, DATA_AXIS
+from ..utils import (AverageMeter, latest_checkpoint, load_checkpoint,
+                     save_checkpoint, setup_logger)
+from .lars import frozen_momentum_branch_mask, lars_sgd, sgd
+from .schedule import make_lr_schedule, scale_lr
+from .state import create_train_state
+from .train_step import make_train_step
+
+
+def build_model(cfg: PretrainConfig, axis_name: Optional[str]) -> PixPro:
+    dtype = jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jnp.float32
+    return PixPro(
+        arch=cfg.model.arch,
+        pixpro_p=cfg.model.pixpro_p,
+        pixpro_clamp_value=cfg.model.pixpro_clamp_value,
+        pixpro_transform_layer=cfg.model.pixpro_transform_layer,
+        pixpro_pos_ratio=cfg.model.pixpro_pos_ratio,
+        pixpro_ins_loss_weight=cfg.model.pixpro_ins_loss_weight,
+        proj_out_dim=cfg.model.feature_dim,
+        dtype=dtype,
+        axis_name=axis_name,
+    )
+
+
+def build_optimizer(cfg: PretrainConfig, lr_schedule, params):
+    mask = frozen_momentum_branch_mask(params)
+    if cfg.optim.optimizer == "lars":
+        return lars_sgd(lr_schedule, momentum=cfg.optim.momentum,
+                        weight_decay=cfg.optim.weight_decay,
+                        frozen_mask=mask)
+    if cfg.optim.optimizer == "sgd":
+        return sgd(lr_schedule, momentum=cfg.optim.momentum,
+                   weight_decay=cfg.optim.weight_decay, frozen_mask=mask)
+    raise NotImplementedError(cfg.optim.optimizer)
+
+
+def _make_raft_fn(cfg: PretrainConfig):
+    """Build the in-step RAFT flow closure for the on-the-fly path."""
+    from ..models.raft import load_raft, raft_batch_flows
+    raft, variables = load_raft(cfg.flow.flow_model, small=cfg.flow.small)
+
+    def raft_fn(frames):  # [B, n, H, W, 3] uint8
+        return raft_batch_flows(raft, variables, frames,
+                                iters=cfg.flow.raft_iters)
+    return raft_fn
+
+
+def train(cfg: PretrainConfig):
+    logger = setup_logger(cfg.runtime.output_dir, jax.process_index())
+    if jax.process_index() == 0:
+        os.makedirs(cfg.runtime.output_dir, exist_ok=True)
+        with open(os.path.join(cfg.runtime.output_dir, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+        logger.info("config:\n%s", cfg.to_json())
+
+    mesh = make_data_mesh(cfg.runtime.mesh_shape)
+    n_devices = mesh.devices.size
+    if n_devices == 1:
+        # single chip: skip sharding annotations entirely (plain jit); the
+        # experimental axon platform executes annotated programs through a
+        # slow fallback, and with one device they are semantically identical.
+        mesh = None
+    global_batch = cfg.data.batch_size * n_devices
+    logger.info("mesh: %d devices, global batch %d", n_devices, global_batch)
+
+    loader = build_pretrain_loader(
+        cfg, global_batch_size=global_batch,
+        num_hosts=jax.process_count(), host_id=jax.process_index())
+    steps_per_epoch = len(loader)
+    num_instances = len(loader.dataset)
+    logger.info("dataset: %d instances, %d steps/epoch",
+                num_instances, steps_per_epoch)
+
+    lr_peak = scale_lr(cfg.optim.base_lr, global_batch)
+    lr_schedule = make_lr_schedule(
+        cfg.optim.lr_scheduler, lr_peak, cfg.optim.epochs,
+        cfg.optim.warmup_epoch, steps_per_epoch,
+        cfg.optim.warmup_multiplier, cfg.optim.lr_decay_epochs,
+        cfg.optim.lr_decay_rate)
+
+    # GSPMD data parallelism: the model stays axis-free; BN statistics and
+    # gradients become global through the sharded batch dimension.
+    model = build_model(cfg, axis_name=None)
+    init_model = model
+
+    # EMA ramp: K = total per-replica steps = steps_per_epoch * epochs
+    # (reference PixPro.py:294-295); counter k resumes from the checkpoint.
+    ema_total = max(steps_per_epoch * cfg.optim.epochs, 1)
+    ema_k0 = steps_per_epoch * (cfg.optim.start_epoch - 1)
+
+    rng = jax.random.PRNGKey(cfg.runtime.seed)
+    sample_im = jnp.zeros((2, cfg.data.image_size, cfg.data.image_size, 3),
+                          jnp.float32)
+    dummy_tx = sgd(lr_schedule)
+    state = create_train_state(rng, init_model, dummy_tx,
+                               {"im1": sample_im}, ema_k0=ema_k0)
+    tx = build_optimizer(cfg, lr_schedule, state.params)
+    state = state.replace(opt_state=tx.init(state.params))
+
+    start_epoch = cfg.optim.start_epoch
+    resume_path = cfg.runtime.resume
+    if cfg.runtime.auto_resume and not resume_path:
+        resume_path = latest_checkpoint(cfg.runtime.output_dir) or ""
+    if resume_path:
+        state, ckpt_epoch, _ = load_checkpoint(resume_path, state)
+        start_epoch = ckpt_epoch + 1
+        logger.info("resumed from %s (epoch %d, step %d)",
+                    resume_path, ckpt_epoch, int(state.step))
+
+    use_flow = cfg.flow.use_flow
+    raft_fn = None
+    if use_flow and not cfg.flow.use_flow_file:
+        raft_fn = _make_raft_fn(cfg)
+
+    step_fn = make_train_step(
+        model, tx, lr_schedule=lr_schedule,
+        ema_total_steps=ema_total,
+        ema_base_momentum=cfg.model.pixpro_momentum,
+        mesh=mesh, use_flow=use_flow,
+        flow_up=cfg.flow.flow_up, flow_cat_norm=cfg.flow.flow_cat_norm,
+        alpha1=cfg.flow.alpha1, alpha2=cfg.flow.alpha2,
+        raft_fn=raft_fn)
+
+    batch_sharding = (NamedSharding(mesh, P(DATA_AXIS))
+                      if mesh is not None else jax.devices()[0])
+    max_epoch = cfg.optim.epochs
+    if cfg.runtime.debug_epochs:
+        max_epoch = min(max_epoch, start_epoch + cfg.runtime.debug_epochs - 1)
+
+    loss_meter, time_meter = AverageMeter(), AverageMeter()
+    for epoch in range(start_epoch, max_epoch + 1):
+        t_end = time.time()
+        for idx, batch in enumerate(loader.epoch(epoch)):
+            n_eff = batch.pop("n_frames_eff", None)
+            batch.pop("index", None)
+            batch.pop("target", None)
+            device_batch = jax.device_put(batch, batch_sharding)
+            state, metrics = step_fn(state, device_batch)
+
+            if idx % cfg.runtime.print_freq == 0 or idx == steps_per_epoch - 1:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                loss_meter.update(metrics["loss"], global_batch)
+                time_meter.update(time.time() - t_end)
+                extra = ""
+                if "mask_ratio_fwd" in metrics:
+                    extra = (f" mask_r {metrics['mask_ratio_fwd']:.3f}/"
+                             f"{metrics['mask_ratio_bwd']:.3f}")
+                logger.info(
+                    "Train: [%d/%d][%d/%d] time %.3f lr %.4f "
+                    "loss %.4f (%.4f) [+4: %.4f] pos_num %.4g pos_mean %.3f%s",
+                    epoch, cfg.optim.epochs, idx, steps_per_epoch,
+                    time_meter.val, metrics["lr"], metrics["loss"],
+                    loss_meter.avg, metrics["loss"] + 4.0,
+                    metrics["pos_num"], metrics["pos_mean"], extra)
+            t_end = time.time()
+
+        if jax.process_index() == 0 and (
+                epoch % cfg.runtime.save_freq == 0 or epoch == max_epoch):
+            path = save_checkpoint(cfg.runtime.output_dir, epoch, state,
+                                   cfg.to_json())
+            logger.info("saved checkpoint %s", path)
+
+    return state

@@ -1,13 +1,22 @@
 """The compiled PixPro train step.
 
-One `jit(shard_map(...))` program per config containing everything the
-reference does per iteration across Python/DDP/NCCL boundaries
-(`main_pretrain.py:213-269` + `PixPro.forward` + `util.apply_optical_flow`):
+One jitted SPMD program per config containing everything the reference does
+per iteration across Python/DDP/NCCL boundaries (`main_pretrain.py:213-269`
++ `PixPro.forward` + `util.apply_optical_flow`):
 
     flow upsample -> long-range composition -> cycle masks ->
     cosine-ramped EMA update (pre-key-forward, reference ordering) ->
     4x encoder forwards + PPM -> pixel-pair loss ->
-    grad pmean over the data mesh -> LARS/SGD update -> metrics.
+    gradient reduction over the data mesh -> LARS/SGD update -> metrics.
+
+Parallelism is pure GSPMD: the batch is sharded over the mesh's `data` axis
+via in_shardings and parameters are replicated. Batch statistics computed by
+BatchNorm are then means over the *global* batch (the partitioner inserts the
+cross-chip all-reduce), which reproduces the reference's SyncBN exactly
+(`PixPro.py:289-292`); likewise the loss mean and its gradients are global,
+reproducing DDP's gradient all-reduce. No hand-written collectives — they
+compile onto ICI directly. (An earlier shard_map variant was functionally
+identical but orders of magnitude slower through the axon tunnel.)
 
 Host work per step is reduced to feeding image/coord/flow arrays."""
 
@@ -18,11 +27,11 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.pixpro import ema_update, momentum_schedule
 from ..ops.flow import compose_and_mask, mask_ratio
-from ..parallel.mesh import DATA_AXIS, shard_map_fn
+from ..parallel.mesh import DATA_AXIS
 
 
 def make_train_step(
@@ -56,8 +65,9 @@ def make_train_step(
             "multi-span flow-frames training is not wired into the step yet "
             "(the reference's checked-in version of this path crashes on a "
             "missing calc_frame_ratio; see SURVEY.md §4.6)")
-
-    axis = DATA_AXIS if mesh is not None else model.axis_name
+    assert getattr(model, "axis_name", None) is None, \
+        "GSPMD step: build the model with axis_name=None (BN stats are " \
+        "global through sharding propagation, not named collectives)"
 
     def step_fn(state, batch):
         # EMA update of the momentum branch with the *pre-step* online params,
@@ -88,32 +98,21 @@ def make_train_step(
         (loss, (stats, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
 
-        if axis is not None:
-            grads = jax.lax.pmean(grads, axis)
-            loss = jax.lax.pmean(loss, axis)
-
         updates, new_opt_state = tx.update(grads, state.opt_state, params)
         new_params = optax.apply_updates(params, updates)
 
         # metrics (aggregated on-device; reference `main_pretrain.py:280-307`)
-        pos_num = jnp.sum(stats["pos_num_1"]) + jnp.sum(stats["pos_num_2"])
-        pos_mean = (jnp.mean(stats["pos_mean_1"])
-                    + jnp.mean(stats["pos_mean_2"])) / 2.0
         metrics = {
             "loss": loss,
             "lr": lr_schedule(state.step),
             "ema_momentum": m,
-            "pos_num": pos_num,
-            "pos_mean": pos_mean,
+            "pos_num": jnp.sum(stats["pos_num_1"]) + jnp.sum(stats["pos_num_2"]),
+            "pos_mean": (jnp.mean(stats["pos_mean_1"])
+                         + jnp.mean(stats["pos_mean_2"])) / 2.0,
         }
         if mask_fwd is not None:
             metrics["mask_ratio_fwd"] = jnp.mean(mask_ratio(mask_fwd))
             metrics["mask_ratio_bwd"] = jnp.mean(mask_ratio(mask_bwd))
-        if axis is not None:
-            metrics["pos_num"] = jax.lax.psum(metrics["pos_num"], axis)
-            for k in ("pos_mean", "mask_ratio_fwd", "mask_ratio_bwd"):
-                if k in metrics:
-                    metrics[k] = jax.lax.pmean(metrics[k], axis)
 
         new_state = state.replace(
             step=state.step + 1,
@@ -124,10 +123,12 @@ def make_train_step(
         )
         return new_state, metrics
 
+    donate_args = (0,) if donate else ()
     if mesh is not None:
-        step_fn = shard_map_fn(
-            step_fn, mesh,
-            in_specs=(P(), P(DATA_AXIS)),
-            out_specs=(P(), P()),
-        )
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        replicated = NamedSharding(mesh, P())
+        batch_sharded = NamedSharding(mesh, P(DATA_AXIS))
+        return jax.jit(step_fn,
+                       in_shardings=(replicated, batch_sharded),
+                       out_shardings=(replicated, replicated),
+                       donate_argnums=donate_args)
+    return jax.jit(step_fn, donate_argnums=donate_args)

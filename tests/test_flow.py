@@ -87,6 +87,17 @@ def test_all_concat_flow_window_structure():
                                _torch_compose(fwd), rtol=1e-4, atol=1e-4)
 
 
+def test_fused_upsample_compose_matches_materialized():
+    from pixflow_tpu.ops import upflow8
+    k, b, h, w = 3, 2, 4, 5
+    flows = RNG.standard_normal((k, b, h, w, 2)).astype(np.float32)
+    fused = concat_flow(jnp.asarray(flows), upsample8=True)
+    up = jnp.stack([upflow8(jnp.asarray(flows[i])) for i in range(k)])
+    materialized = concat_flow(up)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(materialized),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_cycle_consistency_perfect_flow_is_trusted():
     # fwd = +2px right, bwd = -2px: perfect cycle, interior pixels trusted.
     b, h, w = 1, 12, 16

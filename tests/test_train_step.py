@@ -51,14 +51,14 @@ def mesh():
 def _setup(mesh, use_flow: bool):
     kw = dict(arch="resnet18", pixpro_p=2.0, pixpro_transform_layer=1,
               pixpro_pos_ratio=0.7, proj_inner_dim=64, proj_out_dim=32)
-    model = PixPro(axis_name=DATA_AXIS, **kw)
+    # GSPMD step: axis_name stays None; BN stats become global through the
+    # sharded batch axis (SyncBN parity is asserted below).
+    model = PixPro(**kw)
     batch = _batch(use_flow)
 
-    # init outside the mesh (shapes only need the per-device slice)
-    init_model = PixPro(axis_name=None, **kw)
     lr = warmup_cosine(0.1, epochs=10, warmup_epoch=1, steps_per_epoch=5)
     dummy_tx = lars_sgd(lr, weight_decay=1e-5)
-    state = create_train_state(jax.random.PRNGKey(0), init_model, dummy_tx,
+    state = create_train_state(jax.random.PRNGKey(0), model, dummy_tx,
                                {"im1": batch["im1"][:1]})
     tx = lars_sgd(lr, weight_decay=1e-5,
                   frozen_mask=frozen_momentum_branch_mask(state.params))
@@ -112,7 +112,7 @@ def test_syncbn_stats_are_cross_replica(mesh):
     state, _ = step(state, batch)
     # run the same step WITHOUT a mesh on the full batch: stats must agree
     model = PixPro(arch="resnet18", pixpro_p=2.0, pixpro_transform_layer=1,
-                   proj_inner_dim=64, proj_out_dim=32, axis_name=None)
+                   proj_inner_dim=64, proj_out_dim=32)
     lr = warmup_cosine(0.1, epochs=10, warmup_epoch=1, steps_per_epoch=5)
     tx = lars_sgd(lr, weight_decay=1e-5)
     state2 = create_train_state(jax.random.PRNGKey(0), model, tx,
