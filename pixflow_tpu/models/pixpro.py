@@ -139,7 +139,8 @@ class PixPro(nn.Module):
         if self.pixpro_ins_loss_weight > 0.0:
             pi = self.projector_instance(feat, train)
             pi = self.predictor(pi, train)
-            pi = nn.avg_pool(pi, (7, 7), (1, 1)).reshape(pi.shape[0], -1)
+            # global mean == reference AvgPool2d(7) on the canonical 7x7 map
+            pi = jnp.mean(pi, axis=(1, 2))
             inst = l2_normalize(pi)
         return pred, inst
 
@@ -153,7 +154,7 @@ class PixPro(nn.Module):
         inst = None
         if self.pixpro_ins_loss_weight > 0.0:
             pk = self.projector_instance_k(feat, train)
-            pk = nn.avg_pool(pk, (7, 7), (1, 1)).reshape(pk.shape[0], -1)
+            pk = jnp.mean(pk, axis=(1, 2))
             inst = l2_normalize(pk)
         return proj, inst
 

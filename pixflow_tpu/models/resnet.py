@@ -216,10 +216,12 @@ class ResNet(nn.Module):
         if self.head_type == "early_return":
             return c5
 
+        # global average pool: identical to the reference's AvgPool2d(7) on
+        # the canonical 224px input (c5 is exactly 7x7 there) and well-defined
+        # for any input size, unlike the fixed 7x7 window.
         mid_dim = self.feature_dim
         if self.head_type != "conv_head":
-            c5 = nn.avg_pool(c5, (7, 7), (1, 1))
-            c5 = c5.reshape(c5.shape[0], -1)
+            c5 = jnp.mean(c5, axis=(1, 2))
 
         if self.head_type == "mlp_head":
             out = nn.Dense(mid_dim, dtype=self.dtype, name="fc1")(c5)
