@@ -1,5 +1,7 @@
 from .resample import (
     grid_sample,
+    grid_sample_mxu,
+    grid_sample_auto,
     grid_sample_nearest,
     resize_align_corners,
     upflow8,
@@ -24,7 +26,7 @@ from .loss import (
 )
 
 __all__ = [
-    "grid_sample", "grid_sample_nearest", "resize_align_corners", "upflow8",
+    "grid_sample", "grid_sample_mxu", "grid_sample_auto", "grid_sample_nearest", "resize_align_corners", "upflow8",
     "coords_grid", "normalize_coords", "normalize_flow", "denormalize_flow",
     "concat_flow", "all_concat_flow", "forward_backward_consistency",
     "compose_and_mask", "mask_ratio",

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from .resample import (
     coords_grid,
     denormalize_flow,
-    grid_sample,
+    grid_sample_auto as grid_sample,
     normalize_coords,
     normalize_flow,
     upflow8,

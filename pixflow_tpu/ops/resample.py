@@ -111,6 +111,69 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(b, gh, gw, c)
 
 
+def grid_sample_mxu(img: jnp.ndarray, grid: jnp.ndarray,
+                    chunk: int = 2048) -> jnp.ndarray:
+    """Bilinear sampling as one-hot tent-weight matmuls (MXU path).
+
+    Mathematically identical to `grid_sample` (align_corners=True, zeros
+    padding): the bilinear weight of source column i for target x is the tent
+    max(0, 1-|i-x|), which is exactly the two floor/ceil taps with their
+    bilinear weights and zero outside the image. Building the dense [points,
+    W] / [points, H] tent matrices and contracting them on the MXU is ~10x
+    faster on TPU than the scalar-gather lowering for large point counts
+    (TPU gathers don't vectorize; matmuls are the machine's native op).
+
+    img: [B, H, W, C], grid: [B, Hg, Wg, 2] -> [B, Hg, Wg, C].
+    """
+    b, h, w, c = img.shape
+    gb, gh, gw, _ = grid.shape
+    assert gb == b
+    n = gh * gw
+
+    x = ((grid[..., 0] + 1.0) * 0.5 * (w - 1)).reshape(b, n)
+    y = ((grid[..., 1] + 1.0) * 0.5 * (h - 1)).reshape(b, n)
+
+    iw = jax.lax.broadcasted_iota(jnp.float32, (1, 1, w), 2)
+    ih = jax.lax.broadcasted_iota(jnp.float32, (1, 1, h), 2)
+    hi = jax.lax.Precision.HIGHEST
+
+    n_pad = -(-n // chunk) * chunk
+    if n_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n)))
+        y = jnp.pad(y, ((0, 0), (0, n_pad - n)))
+    xc = x.reshape(b, n_pad // chunk, chunk).transpose(1, 0, 2)
+    yc = y.reshape(b, n_pad // chunk, chunk).transpose(1, 0, 2)
+
+    def sample_chunk(args):
+        xm, ym = args  # [b, chunk]
+        ax = jnp.maximum(0.0, 1.0 - jnp.abs(xm[..., None] - iw))  # [b,m,W]
+        ay = jnp.maximum(0.0, 1.0 - jnp.abs(ym[..., None] - ih))  # [b,m,H]
+        t = jnp.einsum("bmx,byxc->bmyc", ax, img, precision=hi,
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("bmy,bmyc->bmc", ay, t, precision=hi,
+                          preferred_element_type=jnp.float32)
+
+    out = jax.lax.map(sample_chunk, (xc, yc))          # [chunks, b, m, c]
+    out = out.transpose(1, 0, 2, 3).reshape(b, n_pad, c)[:, :n]
+    return out.reshape(b, gh, gw, c).astype(img.dtype)
+
+
+# MXU path pays ~N*(H + W*C) flops: worth it for many points over small
+# fields (e.g. 1/8-res flow), never for full-resolution source fields.
+_MXU_MIN_POINTS = 4096
+_MXU_MAX_FIELD = 40960  # source H*W
+
+
+def grid_sample_auto(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch between the gather path (few points / big fields) and the
+    MXU tent-matmul path (many points over small fields)."""
+    n = grid.shape[1] * grid.shape[2]
+    field = img.shape[1] * img.shape[2]
+    if n >= _MXU_MIN_POINTS and field <= _MXU_MAX_FIELD:
+        return grid_sample_mxu(img, grid)
+    return grid_sample(img, grid)
+
+
 def grid_sample_nearest(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     """Nearest sampling, align_corners=True, zeros padding.
 

@@ -76,6 +76,29 @@ def test_upflow8_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
 
+def test_grid_sample_mxu_matches_gather_path():
+    from pixflow_tpu.ops import grid_sample_mxu
+    b, h, w, c = 2, 18, 24, 2
+    img = RNG.standard_normal((b, h, w, c)).astype(np.float32)
+    grid = RNG.uniform(-1.3, 1.3, size=(b, 40, 52, 2)).astype(np.float32)
+    want = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid)))
+    got = np.asarray(grid_sample_mxu(jnp.asarray(img), jnp.asarray(grid),
+                                     chunk=512))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_grid_sample_mxu_exact_integer_coords():
+    from pixflow_tpu.ops import grid_sample_mxu
+    img = np.arange(24, dtype=np.float32).reshape(1, 4, 6, 1)
+    # normalized coords hitting integer pixels exactly
+    grid = np.array([[[[-1.0, -1.0], [1.0, 1.0],
+                       [2 * 2 / 5 - 1, 2 * 1 / 3 - 1]]]], np.float32)
+    out = np.asarray(grid_sample_mxu(jnp.asarray(img), jnp.asarray(grid)))
+    assert out[0, 0, 0, 0] == 0.0
+    assert out[0, 0, 1, 0] == 23.0
+    np.testing.assert_allclose(out[0, 0, 2, 0], img[0, 1, 2, 0], rtol=1e-6)
+
+
 def test_coords_grid_and_normalize_roundtrip():
     g = np.asarray(coords_grid(3, 5))
     assert g.shape == (3, 5, 2)
