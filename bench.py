@@ -1,10 +1,14 @@
 #!/usr/bin/env python
 """Headline benchmark: pretrain images/sec/chip for the nframe=6 flow recipe
-(ResNet-50 PixPro, 224px, precomputed 1/8-res RAFT flows, upflow8 + 5-flow
-composition + cycle masks, LARS — the
-`tools/pretrain_bdd100k_job_2000ep_nframe6_gpu16.sh` configuration).
+(ResNet-50 PixPro, 224px, 5 precomputed 1/8-res RAFT flows per sample,
+in-step long-range composition + cycle masks + LARS — the
+`tools/pretrain_bdd100k_job_2000ep_nframe6_gpu16.sh` configuration, with the
+TPU-native 1/8-res flow composition; set BENCH_FLOW_UP=1 for the reference's
+full-res upflow8-then-compose parity mode).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Measured as N train steps inside one jitted lax.scan (device-side timing:
+the axon tunnel's per-dispatch overhead and lazy execution make per-call
+host timing unreliable). Prints ONE JSON line.
 
 vs_baseline normalizes against an estimated reference throughput of
 160 images/sec per V100 (the reference publishes no throughput —
@@ -22,19 +26,26 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
+    import optax
+
+    from pixflow_tpu.parallel.mesh import enable_compilation_cache
+    enable_compilation_cache()
 
     from pixflow_tpu.models import PixPro
+    from pixflow_tpu.models.pixpro import ema_update, momentum_schedule
+    from pixflow_tpu.ops.flow import compose_and_mask
     from pixflow_tpu.parallel import make_data_mesh, DATA_AXIS
-    from pixflow_tpu.train import (create_train_state, make_train_step,
-                                   lars_sgd, frozen_momentum_branch_mask,
-                                   warmup_cosine)
+    from pixflow_tpu.train import (create_train_state, lars_sgd,
+                                   frozen_momentum_branch_mask, warmup_cosine)
 
     n_dev = len(jax.devices())
-    # single chip: plain jit (no sharding annotations — the axon platform
-    # runs annotated programs through a slow fallback); >1 chip: GSPMD mesh.
     mesh = make_data_mesh(n_dev) if n_dev > 1 else None
 
     per_chip_batch = int(os.environ.get("BENCH_BATCH", "32"))
+    flow_up = os.environ.get("BENCH_FLOW_UP", "0") == "1"
+    n_scan = int(os.environ.get("BENCH_SCAN_STEPS", "10"))
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+
     b = per_chip_batch * n_dev
     hw, k, fh, fw = 224, 5, 90, 160  # nframe=6: 5 flows at 1/8 of 720x1280
 
@@ -55,6 +66,7 @@ def main():
         "flows_bwd": jnp.asarray(
             2 * rng.standard_normal((b, k, fh, fw, 2)).astype(np.float32)),
     }
+    jax.block_until_ready(batch)
 
     model = PixPro(arch="resnet50", pixpro_p=2.0, pixpro_transform_layer=1,
                    pixpro_pos_ratio=0.7, dtype=jnp.bfloat16)
@@ -67,23 +79,55 @@ def main():
                   frozen_mask=frozen_momentum_branch_mask(state.params))
     state = state.replace(opt_state=tx.init(state.params))
 
-    step = make_train_step(model, tx, lr_schedule=lr,
-                           ema_total_steps=2000 * 68, ema_base_momentum=0.99,
-                           mesh=mesh, use_flow=True, flow_up=True,
-                           alpha1=0.01, alpha2=0.5)
+    def body(st, bt):
+        m = momentum_schedule(st.ema_k, 2000 * 68, 0.99)
+        params = ema_update(st.params, m)
+        ff, fb, mf, mb = compose_and_mask(
+            bt["flows_fwd"], bt["flows_bwd"], flow_up=flow_up,
+            use_flow_frames=False, alpha_1=0.01, alpha_2=0.5)
 
-    # warmup/compile
-    state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+        def loss_fn(p):
+            (loss, _), mut = model.apply(
+                {"params": p, "batch_stats": st.batch_stats},
+                bt["im1"], bt["im2"], bt["coord1"], bt["coord2"],
+                ff, fb, mf, mb, train=True, mutable=["batch_stats"])
+            return loss, mut["batch_stats"]
 
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
-    dt = (time.perf_counter() - t0) / iters
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, st.opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return st.replace(step=st.step + 1, ema_k=st.ema_k + 1,
+                          params=new_params, batch_stats=new_bs,
+                          opt_state=new_opt), loss
 
-    img_per_sec_per_chip = b / dt / n_dev
+    scan_kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+        shd = NamedSharding(mesh, P(DATA_AXIS))
+        state = jax.device_put(state, rep)
+        batch = jax.device_put(batch, shd)
+
+    @jax.jit
+    def many_steps(st, bt):
+        return jax.lax.scan(lambda s, _: body(s, bt), st, None, length=n_scan)
+
+    # NOTE: on the tunneled axon platform block_until_ready can return before
+    # execution finishes; an actual device->host scalar fetch is the only
+    # reliable barrier, so every timing section ends with float(losses[-1]).
+    for _ in range(2):  # compile + flush
+        state, losses = many_steps(state, batch)
+        float(losses[-1])
+
+    times = []
+    for _ in range(max(trials, 3)):
+        t0 = time.perf_counter()
+        state, losses = many_steps(state, batch)
+        float(losses[-1])
+        times.append((time.perf_counter() - t0) / n_scan)
+
+    step_time = sorted(times)[len(times) // 2]
+    img_per_sec_per_chip = b / step_time / n_dev
     print(json.dumps({
         "metric": "pretrain_images_per_sec_per_chip_r50_nframe6_flow",
         "value": round(img_per_sec_per_chip, 2),
