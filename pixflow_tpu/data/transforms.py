@@ -144,7 +144,7 @@ class ColorJitter:
 def _shift_hue(img: Image.Image, delta: float) -> Image.Image:
     """delta in turns of the color wheel (torchvision convention)."""
     hsv = np.array(img.convert("HSV"), np.uint8)
-    shift = np.uint8(int(delta * 255)) if delta >= 0 else np.uint8(256 + int(delta * 255))
+    shift = np.uint8(int(round(delta * 255)) % 256)
     hsv[..., 0] = hsv[..., 0] + shift  # uint8 wraparound is the hue wrap
     return Image.fromarray(hsv, "HSV").convert("RGB")
 

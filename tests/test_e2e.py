@@ -1,0 +1,85 @@
+"""End-to-end driver smoke: full pretrain loop (config -> loader -> compiled
+step -> checkpoint -> resume) over a synthetic video dataset on the
+8-device CPU mesh... exercised exactly as `main_pretrain.py` would."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bdd_e2e")
+    rng = np.random.default_rng(1)
+    for v in range(8):
+        vd = root / "train" / f"video{v:03d}"
+        vd.mkdir(parents=True)
+        for f in range(4):
+            arr = rng.integers(0, 255, (72, 128, 3), np.uint8)
+            Image.fromarray(arr).save(vd / f"frame{f:04d}.jpg")
+    import torch
+    for d in ("forward", "backward"):
+        (root / "flow" / "pth" / "train" / d).mkdir(parents=True)
+        for v in range(8):
+            flow = torch.randn(3, 2, 9, 16)
+            torch.save(flow, root / "flow" / "pth" / "train" / d / f"video{v:03d}.pth")
+    return str(root)
+
+
+def _config(synth_root, out_dir, use_flow):
+    from pixflow_tpu.configs import PretrainConfig
+    cfg = PretrainConfig()
+    cfg.data.data_dir = synth_root
+    cfg.data.dataset = "bdd100k"
+    cfg.data.aug = "BYOL"
+    cfg.data.crop = 0.5
+    cfg.data.image_size = 64
+    cfg.data.n_frames = 3 if use_flow else 1
+    cfg.data.batch_size = 1  # per replica; 8 devices -> global 8
+    cfg.data.num_workers = 1
+    cfg.model.arch = "resnet18"
+    cfg.model.pixpro_p = 2.0
+    cfg.model.pixpro_transform_layer = 1
+    cfg.optim.epochs = 2
+    cfg.optim.warmup_epoch = 1
+    cfg.flow.use_flow = use_flow
+    cfg.flow.use_flow_file = use_flow
+    cfg.flow.flow_root = os.path.join(synth_root, "flow", "pth")
+    cfg.flow.alpha1 = 0.01 if use_flow else None
+    cfg.flow.alpha2 = 0.5 if use_flow else None
+    cfg.runtime.output_dir = out_dir
+    cfg.runtime.compute_dtype = "float32"
+    cfg.runtime.print_freq = 1
+    cfg.runtime.save_freq = 1
+    return cfg
+
+
+@pytest.mark.parametrize("use_flow", [False, True])
+def test_pretrain_driver_end_to_end(synth_root, tmp_path, use_flow):
+    from pixflow_tpu.train.driver import train
+    out = str(tmp_path / f"out_{use_flow}")
+    cfg = _config(synth_root, out, use_flow)
+    state = train(cfg)
+    assert int(state.step) == 2 * (8 // 8)  # 2 epochs x 1 step
+    assert os.path.exists(os.path.join(out, "config.json"))
+    assert os.path.exists(os.path.join(out, "current.msgpack"))
+    with open(os.path.join(out, "config.json")) as f:
+        assert json.load(f)["model"]["arch"] == "resnet18"
+
+
+def test_pretrain_driver_auto_resume(synth_root, tmp_path):
+    from pixflow_tpu.train.driver import train
+    out = str(tmp_path / "resume_out")
+    cfg = _config(synth_root, out, use_flow=False)
+    state1 = train(cfg)
+    # resume: runs epochs 3.. nothing (start beyond) unless epochs extended
+    cfg2 = _config(synth_root, out, use_flow=False)
+    cfg2.runtime.auto_resume = True
+    cfg2.optim.epochs = 3
+    state2 = train(cfg2)
+    assert int(state2.step) == int(state1.step) + 1  # one more epoch ran
