@@ -1,0 +1,153 @@
+"""Debug visualization: flow fields, crop geometry, warped grids, masks.
+
+Compact counterpart of the reference's debug tooling
+(`contrast/debug_utils.py`, `contrast/flow/utils/flow_viz.py`): everything
+needed to eyeball the pipeline's geometry — crop rectangles on the original
+frames, the 7x7 bin-center points before/after flow warping, positive-pair
+lines between views, Baker-et-al flow-color renders, and cycle-mask
+overlays. Enabled by `--debug` in the pretrain driver."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+from PIL import Image, ImageDraw
+
+
+# --------------------------------------------------------------------------
+# optical-flow color wheel (Baker et al., "A Database and Evaluation
+# Methodology for Optical Flow")
+# --------------------------------------------------------------------------
+
+def make_colorwheel() -> np.ndarray:
+    RY, YG, GC, CB, BM, MR = 15, 6, 4, 11, 13, 6
+    wheel = np.zeros((RY + YG + GC + CB + BM + MR, 3), np.float32)
+    col = 0
+    for n, (a, b, ramp_up) in (
+        (RY, (0, 1, True),) , (YG, (1, 0, False)), (GC, (1, 2, True)),
+        (CB, (2, 1, False)), (BM, (2, 0, True)), (MR, (0, 2, False)),
+    ):
+        wheel[col:col + n, a] = 255
+        ramp = np.floor(255 * np.arange(n) / n)
+        wheel[col:col + n, b] = ramp if ramp_up else 255 - ramp
+        col += n
+    return wheel
+
+
+_WHEEL = make_colorwheel()
+
+
+def flow_to_image(flow: np.ndarray, clip: Optional[float] = None) -> np.ndarray:
+    """flow [H, W, 2] -> RGB uint8 [H, W, 3]."""
+    u, v = np.asarray(flow[..., 0], np.float32), np.asarray(flow[..., 1], np.float32)
+    if clip is not None:
+        u, v = np.clip(u, -clip, clip), np.clip(v, -clip, clip)
+    rad = np.sqrt(u * u + v * v)
+    rad_max = max(rad.max(), 1e-5)
+    u, v = u / rad_max, v / rad_max
+    rad = rad / rad_max
+
+    n = len(_WHEEL)
+    angle = np.arctan2(-v, -u) / np.pi  # [-1, 1]
+    fk = (angle + 1) / 2 * (n - 1)
+    k0 = np.floor(fk).astype(int) % n
+    k1 = (k0 + 1) % n
+    f = fk - np.floor(fk)
+
+    img = np.zeros(u.shape + (3,), np.uint8)
+    for c in range(3):
+        col0 = _WHEEL[k0, c] / 255.0
+        col1 = _WHEEL[k1, c] / 255.0
+        col = (1 - f) * col0 + f * col1
+        col = 1 - rad * (1 - col)  # saturate with magnitude
+        img[..., c] = np.floor(255 * col)
+    return img
+
+
+# --------------------------------------------------------------------------
+# geometry renders
+# --------------------------------------------------------------------------
+
+def draw_crop_rect(img: np.ndarray, coord: np.ndarray,
+                   color=(255, 0, 0)) -> Image.Image:
+    """Draw the crop rectangle encoded in a 10-vector coord on the original
+    frame (reference `debug_utils.draw_rects`)."""
+    pil = Image.fromarray(np.asarray(img, np.uint8))
+    d = ImageDraw.Draw(pil)
+    j, i, w, h = coord[4:8]
+    d.rectangle([j, i, j + w - 1, i + h - 1], outline=color, width=2)
+    return pil
+
+
+def draw_points(img: np.ndarray, xs: np.ndarray, ys: np.ndarray,
+                color=(0, 255, 0), radius: int = 2) -> Image.Image:
+    """Scatter bin-center points (original-image pixel coords) on a frame
+    (reference `debug_utils.draw_points*`)."""
+    pil = img if isinstance(img, Image.Image) else Image.fromarray(
+        np.asarray(img, np.uint8))
+    d = ImageDraw.Draw(pil)
+    for x, y in zip(np.asarray(xs).ravel(), np.asarray(ys).ravel()):
+        d.ellipse([x - radius, y - radius, x + radius, y + radius], fill=color)
+    return pil
+
+
+def draw_positive_pairs(img1: np.ndarray, img2: np.ndarray,
+                        q_x, q_y, k_x, k_y, pos_mask,
+                        max_lines: int = 200) -> Image.Image:
+    """Side-by-side views with lines joining positive bin pairs (reference
+    `debug_utils.draw_point_positive_pair`)."""
+    im1 = Image.fromarray(np.asarray(img1, np.uint8))
+    im2 = Image.fromarray(np.asarray(img2, np.uint8))
+    w1, h = im1.size[0], max(im1.size[1], im2.size[1])
+    canvas = Image.new("RGB", (w1 + im2.size[0], h))
+    canvas.paste(im1, (0, 0))
+    canvas.paste(im2, (w1, 0))
+    d = ImageDraw.Draw(canvas)
+    qx, qy = np.asarray(q_x).ravel(), np.asarray(q_y).ravel()
+    kx, ky = np.asarray(k_x).ravel(), np.asarray(k_y).ravel()
+    pairs = np.argwhere(np.asarray(pos_mask))
+    for n, (i, j) in enumerate(pairs):
+        if n >= max_lines:
+            break
+        d.line([qx[i], qy[i], kx[j] + w1, ky[j]], fill=(255, 200, 0), width=1)
+    return canvas
+
+
+def warp_image(img: np.ndarray, flow: np.ndarray) -> np.ndarray:
+    """Backward-warp an image by a pixel-unit flow (reference
+    `debug_utils.warp`). img [H, W, C] uint8, flow [H, W, 2] at image res."""
+    import jax.numpy as jnp
+    from ..ops.resample import grid_sample, coords_grid, normalize_coords
+
+    h, w = img.shape[:2]
+    coords = coords_grid(h, w) + jnp.asarray(flow)
+    grid = normalize_coords(coords, h, w)[None]
+    out = grid_sample(jnp.asarray(img, jnp.float32)[None], grid)[0]
+    return np.clip(np.round(np.asarray(out)), 0, 255).astype(np.uint8)
+
+
+def mask_to_image(mask: np.ndarray) -> np.ndarray:
+    """bool [H, W] -> grayscale uint8 (white = trusted)."""
+    return (np.asarray(mask).astype(np.uint8) * 255)
+
+
+def save_debug_bundle(out_dir: str, step: int, batch, flow_fwd=None,
+                      mask_fwd=None, max_samples: int = 2):
+    """Dump the standard debug set for a batch: crop rects, flow renders,
+    cycle masks (reference renders under output/test_imgs/...)."""
+    os.makedirs(out_dir, exist_ok=True)
+    ims = np.asarray(batch.get("frames", batch["im1"]))
+    coords1 = np.asarray(batch["coord1"])
+    for s in range(min(max_samples, len(coords1))):
+        if "frames" in batch:
+            frame = ims[s, 0]
+            draw_crop_rect(frame, coords1[s]).save(
+                os.path.join(out_dir, f"step{step}_s{s}_crop.png"))
+        if flow_fwd is not None:
+            Image.fromarray(flow_to_image(np.asarray(flow_fwd[s]))).save(
+                os.path.join(out_dir, f"step{step}_s{s}_flow.png"))
+        if mask_fwd is not None:
+            Image.fromarray(mask_to_image(np.asarray(mask_fwd[s]))).save(
+                os.path.join(out_dir, f"step{step}_s{s}_mask.png"))

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Precompute per-video RAFT flow files for the use_flow_file training path.
+
+TPU-native replacement for the reference's flow-preparation pipeline (which
+required a separate fork of RAFT and a 256-GPU sweep —
+`dataset_prepare/raft_bdd100k/README.md`): runs the Flax RAFT over every
+consecutive frame pair of every video, forward and backward, and writes one
+file per video with all 1/8-resolution flows:
+
+    <out>/forward/<video>.npy   [num_frames-1, h/8, w/8, 2] float32
+    <out>/backward/<video>.npy  (pairs reversed, reference file order)
+
+`.npy` is the native format; `--format pth` writes torch tensors in the
+reference's layout ([N, 2, h, w]) for drop-in compatibility."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser("precompute RAFT flows")
+    p.add_argument("--data-dir", required=True, help="root with <video>/<frames>")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--flow-model", required=True, help="torch RAFT checkpoint")
+    p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--batch", type=int, default=8, help="frame pairs per step")
+    p.add_argument("--format", choices=["npy", "pth"], default="npy")
+    p.add_argument("--shard", type=int, nargs=2, default=[0, 1],
+                   metavar=("IDX", "N"), help="process every N-th video")
+    a = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from pixflow_tpu.models.raft import load_raft
+    from pixflow_tpu.data.datasets import list_image_folder
+    from pixflow_tpu.parallel.mesh import enable_compilation_cache
+
+    enable_compilation_cache()
+    small = "small" in os.path.basename(a.flow_model)
+    model, variables = load_raft(a.flow_model, small=small)
+
+    @jax.jit
+    def flow_pairs(im1, im2):
+        low, _ = model.apply(variables, im1, im2, iters=a.iters)
+        return low
+
+    os.makedirs(os.path.join(a.out_dir, "forward"), exist_ok=True)
+    os.makedirs(os.path.join(a.out_dir, "backward"), exist_ok=True)
+
+    videos = list_image_folder(a.data_dir, dataset="bdd100k")
+    for vi, video in enumerate(videos):
+        if vi % a.shard[1] != a.shard[0]:
+            continue
+        name = os.path.basename(os.path.dirname(video[0][0]))
+        out_f = os.path.join(a.out_dir, "forward", f"{name}.{a.format}")
+        out_b = os.path.join(a.out_dir, "backward", f"{name}.{a.format}")
+        if os.path.exists(out_f) and os.path.exists(out_b):
+            continue
+
+        frames = np.stack([np.asarray(Image.open(p).convert("RGB"), np.uint8)
+                           for p, _ in video]).astype(np.float32)
+        n = len(frames)
+        fwd, bwd = [], []
+        for s in range(0, n - 1, a.batch):
+            e = min(s + a.batch, n - 1)
+            f = flow_pairs(jnp.asarray(frames[s:e]), jnp.asarray(frames[s + 1:e + 1]))
+            b = flow_pairs(jnp.asarray(frames[s + 1:e + 1]), jnp.asarray(frames[s:e]))
+            fwd.append(np.asarray(f))
+            bwd.append(np.asarray(b))
+        fwd = np.concatenate(fwd)          # [n-1, h, w, 2]
+        bwd = np.concatenate(bwd)[::-1]    # reference order: last pair first
+
+        if a.format == "npy":
+            np.save(out_f, fwd)
+            np.save(out_b, bwd)
+        else:
+            import torch
+            torch.save(torch.from_numpy(fwd.transpose(0, 3, 1, 2).copy()), out_f)
+            torch.save(torch.from_numpy(bwd.transpose(0, 3, 1, 2).copy()), out_b)
+        print(f"[{vi}/{len(videos)}] {name}: {fwd.shape}")
+
+
+if __name__ == "__main__":
+    main()
