@@ -1,0 +1,218 @@
+"""Numerical parity against the *actual reference implementation*.
+
+The reference repo (mounted read-only at /root/reference) runs fine on CPU
+torch; these tests execute its loss/flow functions as an oracle on the same
+inputs as our JAX ops and require agreement to float tolerance. This pins
+the exact behaviors that silently drift otherwise: bin-center geometry,
+flow-warped positive masks, long-range composition, cycle consistency."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    # the reference's debug_utils imports torchvision (not installed);
+    # stub it — the functions under test never touch it.
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+        tv.transforms = tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import importlib
+    # contrast.models/__init__ re-exports the PixPro *class*; grab the module
+    ref_pixpro = importlib.import_module("contrast.models.PixPro")
+    ref_util = importlib.import_module("contrast.util")
+    return ref_pixpro, ref_util
+
+
+SIZE = (720, 1280)  # H, W
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+def _coords(b, seed=0):
+    r = np.random.default_rng(seed)
+    out = np.zeros((b, 10), np.float32)
+    for i in range(b):
+        j, ii = int(r.integers(0, 600)), int(r.integers(0, 300))
+        w, h = int(r.integers(150, 600)), int(r.integers(150, 400))
+        out[i] = [j / 1279, ii / 719, (j + w - 1) / 1279, (ii + h - 1) / 719,
+                  j, ii, w, h, 1280, 720]
+    return out
+
+
+def _feat(b, c=16, hw=7, seed=100):
+    x = _rng(seed).standard_normal((b, c, hw, hw)).astype(np.float32)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return x
+
+
+def test_regression_loss_no_flow_matches_reference(oracle):
+    ref_pixpro, _ = oracle
+    from pixflow_tpu.ops import pixpro_pair_loss
+
+    b = 4
+    q, k = _feat(b, seed=101), _feat(b, seed=102)
+    cq, ck = _coords(b, 1), _coords(b, 2)
+
+    ref_loss, (ref_pn, ref_pm) = ref_pixpro.regression_loss(
+        torch.from_numpy(q), torch.from_numpy(k),
+        torch.from_numpy(cq), torch.from_numpy(ck), pos_ratio=0.7)
+
+    loss, (pn, pm) = pixpro_pair_loss(
+        jnp.asarray(q.transpose(0, 2, 3, 1)),
+        jnp.asarray(k.transpose(0, 2, 3, 1)),
+        jnp.asarray(cq), jnp.asarray(ck), 0.7)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pn), ref_pn.numpy(), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pm), ref_pm.numpy(), rtol=1e-5)
+
+
+@pytest.mark.parametrize("flow_res", [(90, 160), (720, 1280)])
+def test_regression_loss_with_flow_matches_reference(oracle, flow_res):
+    """Flow-warped loss: both the 1/8-res (ratio-rescaled) and full-res
+    paths of add_optical_flow (`PixPro.py:46-89`)."""
+    ref_pixpro, _ = oracle
+    from pixflow_tpu.ops import pixpro_pair_loss
+
+    b = 3
+    fh, fw = flow_res
+    q, k = _feat(b, seed=103), _feat(b, seed=104)
+    cq, ck = _coords(b, 3), _coords(b, 4)
+    flow = (20 * _rng(105).standard_normal((b, 2, fh, fw))).astype(np.float32)
+    mask = _rng(106).random((b, fh, fw)) > 0.3
+
+    size = torch.tensor([SIZE[0], SIZE[1]])
+    coord_q_ref = [torch.from_numpy(cq),
+                   [torch.from_numpy(flow), size, torch.from_numpy(mask)]]
+    coord_k_ref = [torch.from_numpy(ck),
+                   [torch.from_numpy(flow), size, torch.from_numpy(mask)]]
+    ref_loss, (ref_pn, ref_pm) = ref_pixpro.regression_loss(
+        torch.from_numpy(q), torch.from_numpy(k),
+        coord_q_ref, coord_k_ref, pos_ratio=0.7)
+
+    loss, (pn, pm) = pixpro_pair_loss(
+        jnp.asarray(q.transpose(0, 2, 3, 1)),
+        jnp.asarray(k.transpose(0, 2, 3, 1)),
+        jnp.asarray(cq), jnp.asarray(ck), 0.7,
+        flow=jnp.asarray(flow.transpose(0, 2, 3, 1)),
+        flow_mask=jnp.asarray(mask))
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pn), ref_pn.numpy(), rtol=1e-6)
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_concat_flow_matches_reference(oracle, k):
+    _, ref_util = oracle
+    from pixflow_tpu.ops import concat_flow
+
+    flows = (5 * _rng(200 + k).standard_normal((k, 2, 2, 24, 32))).astype(np.float32)
+    ref = ref_util.concat_flow(torch.from_numpy(flows)).numpy()
+    ours = np.asarray(concat_flow(jnp.asarray(flows.transpose(0, 1, 3, 4, 2))))
+    # coords1 - coords0 cancellation leaves ~1e-3 px f32 noise
+    np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1),
+                               rtol=1e-3, atol=2e-2)
+
+
+def test_concat_flow_norm_mode_matches_reference(oracle):
+    _, ref_util = oracle
+    from pixflow_tpu.ops import concat_flow
+
+    flows = (5 * _rng(210).standard_normal((3, 2, 2, 16, 20))).astype(np.float32)
+    ref = ref_util.concat_flow(torch.from_numpy(flows), is_norm=True).numpy()
+    ours = np.asarray(concat_flow(jnp.asarray(flows.transpose(0, 1, 3, 4, 2)),
+                                  is_norm=True))
+    np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_all_concat_flow_matches_reference(oracle):
+    _, ref_util = oracle
+    from pixflow_tpu.ops import all_concat_flow
+
+    kf = 3
+    fwd = (3 * _rng(220).standard_normal((kf, 2, 2, 16, 20))).astype(np.float32)
+    bwd = (3 * _rng(221).standard_normal((kf, 2, 2, 16, 20))).astype(np.float32)
+    ref_f, ref_b = ref_util.all_concat_flow(
+        torch.from_numpy(fwd), torch.from_numpy(bwd), use_flow_frames=True)
+    ours_f, ours_b = all_concat_flow(
+        jnp.asarray(fwd.transpose(0, 1, 3, 4, 2)),
+        jnp.asarray(bwd.transpose(0, 1, 3, 4, 2)), use_flow_frames=True)
+    np.testing.assert_allclose(np.asarray(ours_f),
+                               ref_f.numpy().transpose(0, 1, 3, 4, 2),
+                               rtol=1e-3, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(ours_b),
+                               ref_b.numpy().transpose(0, 1, 3, 4, 2),
+                               rtol=1e-3, atol=2e-2)
+
+
+def test_cycle_consistency_matches_reference(oracle):
+    _, ref_util = oracle
+    from pixflow_tpu.ops import forward_backward_consistency
+
+    fwd = (4 * _rng(230).standard_normal((2, 2, 24, 32))).astype(np.float32)
+    bwd = (4 * _rng(231).standard_normal((2, 2, 24, 32))).astype(np.float32)
+    _, _, (ref_mask, _) = ref_util.forward_backward_consistency(
+        torch.from_numpy(fwd), torch.from_numpy(bwd),
+        alpha_1=0.01, alpha_2=0.5)
+    ours = forward_backward_consistency(
+        jnp.asarray(fwd.transpose(0, 2, 3, 1)),
+        jnp.asarray(bwd.transpose(0, 2, 3, 1)), 0.01, 0.5)
+    agree = np.mean(np.asarray(ours) == ref_mask.numpy())
+    # boundary-of-threshold pixels may flip either way in f32; demand
+    # near-total agreement
+    assert agree > 0.999, f"mask agreement only {agree:.4f}"
+
+
+def test_lars_matches_reference(oracle):
+    """Our optax LARS vs the reference's optimizer wrapper + torch SGD."""
+    sys.path.insert(0, REF)
+    from contrast.lars import LARS as RefLARS, add_weight_decay
+
+    from pixflow_tpu.train import lars_sgd
+
+    torch.manual_seed(0)
+    model = torch.nn.Sequential(torch.nn.Linear(8, 4), torch.nn.Linear(4, 2))
+    params_np = {f"p{i}": p.detach().numpy().copy()
+                 for i, p in enumerate(model.parameters())}
+
+    opt = torch.optim.SGD(add_weight_decay(model, 1e-3), lr=0.1, momentum=0.9)
+    opt = RefLARS(opt)
+
+    grads = [torch.randn_like(p) for p in model.parameters()]
+    for _ in range(3):
+        opt.zero_grad()
+        for p, g in zip(model.parameters(), grads):
+            p.grad = g.clone()
+        opt.step()
+    want = {f"p{i}": p.detach().numpy() for i, p in enumerate(model.parameters())}
+
+    tx = lars_sgd(0.1, momentum=0.9, weight_decay=1e-3)
+    jp = {k: jnp.asarray(v) for k, v in params_np.items()}
+    jg = {f"p{i}": jnp.asarray(g.numpy()) for i, g in enumerate(grads)}
+    st = tx.init(jp)
+    for _ in range(3):
+        upd, st = tx.update(jg, st, jp)
+        jp = {k: jp[k] + upd[k] for k in jp}
+
+    for k in jp:
+        np.testing.assert_allclose(np.asarray(jp[k]), want[k],
+                                   rtol=1e-5, atol=1e-6)
