@@ -147,6 +147,17 @@ class VideoFrameDataset:
 
     def __post_init__(self):
         self.use_flow_file = bool(self.flow_fwd_root) and bool(self.flow_bwd_root)
+        # flowpack mode: roots are .fpk shard files (native mmap reader)
+        self._pack_mode = (self.use_flow_file
+                           and self.flow_fwd_root.endswith(".fpk"))
+        self._pack_fwd = self._pack_bwd = None
+
+    def _packs(self):
+        if self._pack_fwd is None:
+            from .flowpack import FlowPackReader
+            self._pack_fwd = FlowPackReader(self.flow_fwd_root)
+            self._pack_bwd = FlowPackReader(self.flow_bwd_root)
+        return self._pack_fwd, self._pack_bwd
 
     def __len__(self):
         return len(self.samples)
@@ -193,12 +204,21 @@ class VideoFrameDataset:
 
         if self.use_flow_file and self.two_crop and self.n_flows > 0:
             video_name = os.path.basename(os.path.dirname(frames[0][0]))
-            fwd_path = os.path.join(self.flow_fwd_root, video_name + self.flow_ext)
-            bwd_path = os.path.join(self.flow_bwd_root, video_name + self.flow_ext)
             k_eff = eff - 1
-            fwd, num_flow = load_flow_file(fwd_path, start, start + k_eff)
-            bs, bn = mirrored_window(start, start + k_eff, num_flow)
-            bwd, _ = load_flow_file(bwd_path, bs, bn)
+            if self._pack_mode:
+                pf, pb = self._packs()
+                num_flow = pf.num_flows(pf.find(video_name))
+                fwd = pf.read(video_name, start, k_eff)
+                bs, bn = mirrored_window(start, start + k_eff, num_flow)
+                bwd = pb.read(video_name, bs, bn - bs)
+            else:
+                fwd_path = os.path.join(self.flow_fwd_root,
+                                        video_name + self.flow_ext)
+                bwd_path = os.path.join(self.flow_bwd_root,
+                                        video_name + self.flow_ext)
+                fwd, num_flow = load_flow_file(fwd_path, start, start + k_eff)
+                bs, bn = mirrored_window(start, start + k_eff, num_flow)
+                bwd, _ = load_flow_file(bwd_path, bs, bn)
             sample["flows_fwd"] = _pad_flows(fwd, self.n_flows)
             sample["flows_bwd"] = _pad_flows(bwd, self.n_flows)
 

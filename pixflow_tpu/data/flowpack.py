@@ -1,0 +1,146 @@
+"""Python bindings + writer for flowpack shards (native reader in
+`native/flowpack.cpp`; see its header for the on-disk layout).
+
+The writer packs a directory of per-video flow files (.pth / .npy) — or
+in-memory arrays — into one shard; the ctypes reader serves exact flow-window
+slices from the mmap with no deserialization. The shared library is built
+on demand with the in-image toolchain (g++)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+from typing import Dict, Iterable, Optional, Tuple
+
+import numpy as np
+
+_MAGIC = b"FLOWPAK1"
+_NAME_LEN = 64
+_LIB = None
+
+
+def _native_dir() -> str:
+    return os.path.join(os.path.dirname(__file__), "..", "..", "native")
+
+
+def _load_lib(build: bool = True):
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    so = os.path.abspath(os.path.join(_native_dir(), "libflowpack.so"))
+    if not os.path.exists(so) and build:
+        subprocess.run(["make", "-C", os.path.abspath(_native_dir())],
+                       check=True, capture_output=True)
+    lib = ctypes.CDLL(so)
+    lib.fp_open.restype = ctypes.c_void_p
+    lib.fp_open.argtypes = [ctypes.c_char_p]
+    lib.fp_close.argtypes = [ctypes.c_void_p]
+    lib.fp_num_videos.restype = ctypes.c_int32
+    lib.fp_num_videos.argtypes = [ctypes.c_void_p]
+    lib.fp_meta.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32),
+                            ctypes.POINTER(ctypes.c_uint32),
+                            ctypes.POINTER(ctypes.c_uint32)]
+    lib.fp_find.restype = ctypes.c_int32
+    lib.fp_find.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.fp_video_num_flows.restype = ctypes.c_int32
+    lib.fp_video_num_flows.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.fp_read.restype = ctypes.c_int64
+    lib.fp_read.argtypes = [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+                            ctypes.c_int32, ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def write_flowpack(path: str, videos: Iterable[Tuple[str, np.ndarray]],
+                   dtype: str = "float16") -> None:
+    """videos: iterable of (name, flows [num_flows, h, w, 2]). Names are
+    sorted for the reader's binary search; flows stored f16 by default
+    (halves the corpus; flow magnitudes < 1k px lose <0.1% precision)."""
+    items = sorted(videos, key=lambda kv: kv[0])
+    assert items, "empty pack"
+    h, w = items[0][1].shape[1:3]
+    np_dtype = np.float16 if dtype == "float16" else np.float32
+    dtype_code = 1 if dtype == "float16" else 0
+
+    entry_fmt = f"{_NAME_LEN}sQII"
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<IIIIII", len(items), h, w, dtype_code,
+                            _NAME_LEN, 0))
+        offset = 0
+        for name, flows in items:
+            assert len(name.encode()) < _NAME_LEN, f"name too long: {name}"
+            assert flows.shape[1:] == (h, w, 2), \
+                f"{name}: inconsistent flow shape {flows.shape}"
+            f.write(struct.pack("<" + entry_fmt, name.encode(), offset,
+                                flows.shape[0], 0))
+            offset += flows.shape[0] * h * w * 2 * np_dtype().itemsize
+        for _, flows in items:
+            f.write(np.ascontiguousarray(flows, np_dtype).tobytes())
+
+
+def pack_flow_dir(flow_dir: str, out_path: str, dtype: str = "float16"):
+    """Pack a directory of per-video .pth/.npy flow files into one shard."""
+    from .datasets import load_flow_file
+
+    def gen():
+        for fname in sorted(os.listdir(flow_dir)):
+            stem, ext = os.path.splitext(fname)
+            if ext not in (".pth", ".npy"):
+                continue
+            flows, num = load_flow_file(os.path.join(flow_dir, fname), 0, 10**9)
+            yield stem, flows
+
+    write_flowpack(out_path, gen(), dtype)
+
+
+class FlowPackReader:
+    """Zero-deserialization flow-window reader over an mmap'd shard."""
+
+    def __init__(self, path: str):
+        self._lib = _load_lib()
+        self._h = self._lib.fp_open(path.encode())
+        if not self._h:
+            raise FileNotFoundError(f"cannot open flowpack {path}")
+        hh = ctypes.c_uint32()
+        ww = ctypes.c_uint32()
+        dt = ctypes.c_uint32()
+        self._lib.fp_meta(self._h, ctypes.byref(hh), ctypes.byref(ww),
+                          ctypes.byref(dt))
+        self.h, self.w = hh.value, ww.value
+        self.dtype = np.float16 if dt.value == 1 else np.float32
+
+    def __len__(self):
+        return self._lib.fp_num_videos(self._h)
+
+    def find(self, name: str) -> int:
+        return self._lib.fp_find(self._h, name.encode())
+
+    def num_flows(self, idx: int) -> int:
+        return self._lib.fp_video_num_flows(self._h, idx)
+
+    def read(self, name_or_idx, start: int, count: int) -> np.ndarray:
+        idx = (self.find(name_or_idx) if isinstance(name_or_idx, str)
+               else name_or_idx)
+        if idx < 0:
+            raise KeyError(f"video '{name_or_idx}' not in pack")
+        out = np.empty((count, self.h, self.w, 2), self.dtype)
+        got = self._lib.fp_read(self._h, idx, start, count,
+                                out.ctypes.data_as(ctypes.c_void_p))
+        if got < 0:
+            raise IndexError(f"fp_read failed ({got}) for "
+                             f"{name_or_idx}[{start}:{start + count}]")
+        return out.astype(np.float32)
+
+    def close(self):
+        if self._h:
+            self._lib.fp_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
