@@ -92,6 +92,7 @@ class RuntimeConfig:
     # TPU-native knobs
     compute_dtype: str = "bfloat16"    # 'bfloat16' | 'float32' (amp O1-ish vs O0)
     mesh_shape: Optional[int] = None   # data-parallel mesh size; None = all devices
+    profile_dir: str = ""              # write a jax.profiler trace of steps 10-15
     wandb: bool = False
     wandb_project: str = "pixflow-tpu"
     wandb_entity: str = ""

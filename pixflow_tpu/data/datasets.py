@@ -144,6 +144,7 @@ class VideoFrameDataset:
     flow_ext: str = ".pth"
     load_raw_frames: bool = False          # raw uint8 frames for live RAFT
     raw_frame_size: Optional[Tuple[int, int]] = None  # (H, W) resize for RAFT
+    use_flow_frames: bool = False          # per-frame crop stacks (multi-span)
 
     def __post_init__(self):
         self.use_flow_file = bool(self.flow_fwd_root) and bool(self.flow_bwd_root)
@@ -158,6 +159,32 @@ class VideoFrameDataset:
             self._pack_fwd = FlowPackReader(self.flow_fwd_root)
             self._pack_bwd = FlowPackReader(self.flow_bwd_root)
         return self._pack_fwd, self._pack_bwd
+
+    def init_cache(self, mode: str = "part", host_id: int = 0,
+                   num_hosts: int = 1):
+        """In-memory byte cache of the encoded images (reference
+        `DatasetFolder.init_cache`, `dataset.py:242-261`): 'full' caches
+        everything, 'part' only this host's stride of the sample index."""
+        if mode == "no":
+            return
+        assert mode in ("part", "full")
+        self._byte_cache = {}
+        for i, item in enumerate(self.samples):
+            if mode == "part" and i % num_hosts != host_id:
+                continue
+            frames = item if self.video_mode else [item]
+            for path, _ in frames:
+                if isinstance(path, str) and not zipreader.is_zip_path(path):
+                    with open(path, "rb") as f:
+                        self._byte_cache[path] = f.read()
+                elif isinstance(path, str):
+                    self._byte_cache[path] = zipreader.read_bytes(path)
+
+    def _load(self, path):
+        cache = getattr(self, "_byte_cache", None)
+        if cache is not None and path in cache:
+            return load_image(cache[path])
+        return load_image(path)
 
     def __len__(self):
         return len(self.samples)
@@ -185,7 +212,7 @@ class VideoFrameDataset:
         else:
             frames, start, eff = [self.samples[index]], 0, 1
 
-        imgs = [load_image(p) for p, _ in frames]
+        imgs = [self._load(p) for p, _ in frames]
         target = frames[0][1]
         t1, t2 = self._transforms()
 
@@ -201,6 +228,22 @@ class VideoFrameDataset:
             im2, coord2 = t2(imgs[-1], rng)
             sample["im2"] = im2
             sample["coord2"] = coord2
+
+        if self.use_flow_frames and self.two_crop and self.n_frames > 2:
+            # per-frame crop stacks for multi-span training: view-1 crops of
+            # frames 0..F-1, view-2 crops of frames 1..F (the reference's
+            # img_list/img2_list protocol, `dataset.py:451-483`), padded to
+            # static F = n_frames-1 by repeating the last real crop.
+            f_static = self.n_frames - 1
+            v1 = [t1(img, rng) for img in imgs[:-1]]
+            v2 = [t2(img, rng) for img in imgs[1:]]
+            while len(v1) < f_static:
+                v1.append(v1[-1])
+                v2.append(v2[-1])
+            sample["ims1"] = np.stack([a for a, _ in v1])
+            sample["coords1"] = np.stack([c for _, c in v1])
+            sample["ims2"] = np.stack([a for a, _ in v2])
+            sample["coords2"] = np.stack([c for _, c in v2])
 
         if self.use_flow_file and self.two_crop and self.n_flows > 0:
             video_name = os.path.basename(os.path.dirname(frames[0][0]))

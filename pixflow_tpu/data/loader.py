@@ -149,6 +149,8 @@ def build_pretrain_loader(cfg, *, global_batch_size: Optional[int] = None,
         flow_fwd_root=fwd_root,
         flow_bwd_root=bwd_root,
         load_raw_frames=live_raft,
+        use_flow_frames=flow.use_flow and flow.use_flow_frames
+        and data.n_frames > 2,
     )
 
     # cfg.data.batch_size is per replica (reference: per GPU); the driver

@@ -158,6 +158,78 @@ class PixPro(nn.Module):
             inst = l2_normalize(pk)
         return proj, inst
 
+    # --- multi-span loss (use_flow_frames mode) ---------------------------
+
+    def multi_span_loss(self, ims1, ims2, coords1, coords2,
+                        flows_fwd, flows_bwd, masks_fwd, masks_bwd,
+                        spans, n_frames_eff, train: bool = True):
+        """Every-(span,start) pairing over the frame window.
+
+        The reference *ships* this mode broken: its loader emits per-frame
+        crop lists (`dataset.py:451-483`) that its loss cannot consume (a
+        5-D flow reaches grid_sample; plus the missing calc_frame_ratio,
+        SURVEY.md §4.6). Defined semantics here: every composed window
+        (length l, start s) pairs the view-1 crop of frame s with the view-2
+        crop of frame s+l, warped by that window's flow; pair losses average
+        over the windows valid for each sample's real frame count.
+
+        ims1: [B, F, H, W, 3] view-1 crops of frames 0..F-1 (F = n_frames-1)
+        ims2: [B, F, H, W, 3] view-2 crops of frames 1..F
+        coords1/coords2: [B, F, 10]; flows/masks: [S, B, h, w(, 2)] in
+        `all_concat_flow` order; spans: static [(length, start)];
+        n_frames_eff: [B] real frame counts (short videos -> padded tails).
+        """
+        b, f = ims1.shape[:2]
+
+        def flat(x):
+            return x.reshape((b * f,) + x.shape[2:])
+
+        def unflat(x):
+            return x.reshape((b, f) + x.shape[1:])
+
+        pred_1, _ = self.online(flat(ims1), train)
+        pred_2, _ = self.online(flat(ims2), train)
+        proj_1_ng, _ = self.momentum_branch(flat(ims1), train)
+        proj_2_ng, _ = self.momentum_branch(flat(ims2), train)
+        pred_1, pred_2 = unflat(pred_1), unflat(pred_2)
+        proj_1_ng = jax.lax.stop_gradient(unflat(proj_1_ng))
+        proj_2_ng = jax.lax.stop_gradient(unflat(proj_2_ng))
+
+        eff = jnp.asarray(n_frames_eff, jnp.float32)
+        loss_1 = jnp.zeros((b,), jnp.float32)
+        loss_2 = jnp.zeros((b,), jnp.float32)
+        weight = jnp.zeros((b,), jnp.float32)
+        pos_num = jnp.zeros((b,), jnp.float32)
+        pos_mean = jnp.zeros((b,), jnp.float32)
+
+        for i, (length, s) in enumerate(spans):
+            e = s + length  # target frame index
+            valid = (e <= (eff - 1.0)).astype(jnp.float32)  # [B]
+            l1, (pn1, pm1) = pixpro_pair_loss(
+                pred_1[:, s], proj_2_ng[:, e - 1],
+                coords1[:, s], coords2[:, e - 1], self.pixpro_pos_ratio,
+                flow=flows_fwd[i], flow_mask=None if masks_fwd is None
+                else masks_fwd[i], reduce=False)
+            l2, (pn2, pm2) = pixpro_pair_loss(
+                pred_2[:, e - 1], proj_1_ng[:, s],
+                coords2[:, e - 1], coords1[:, s], self.pixpro_pos_ratio,
+                flow=flows_bwd[i], flow_mask=None if masks_bwd is None
+                else masks_bwd[i], reduce=False)
+            loss_1 = loss_1 + valid * l1
+            loss_2 = loss_2 + valid * l2
+            weight = weight + valid
+            pos_num = pos_num + valid * (pn1 + pn2)
+            pos_mean = pos_mean + valid * (pm1 + pm2) / 2.0
+
+        denom = jnp.maximum(weight, 1.0)
+        loss = jnp.mean((loss_1 + loss_2) / denom)
+        stats = {
+            "pos_num_1": pos_num / denom, "pos_mean_1": pos_mean / denom,
+            "pos_num_2": jnp.zeros_like(pos_num),
+            "pos_mean_2": jnp.zeros_like(pos_mean),
+        }
+        return loss, stats
+
     # --- full loss (both views) ------------------------------------------
 
     def __call__(self, im1, im2, coord1, coord2,

@@ -214,6 +214,18 @@ def compose_and_mask(
     return fwd_s, bwd_s, mask_fwd, mask_bwd
 
 
+def span_windows(k: int):
+    """The (length, start) enumeration of `all_concat_flow`'s stacked output
+    (span-major, start ascending): window i composes forward flows
+    [start, start+length) i.e. frame `start` -> frame `start+length`."""
+    out = []
+    for span_m1 in range(k):
+        span = span_m1 + 1
+        for s in range(k - span + 1):
+            out.append((span, s))
+    return out
+
+
 def mask_ratio(mask: jnp.ndarray | None) -> jnp.ndarray | None:
     """Fraction of *untrusted* pixels per field (reference `util.py:360-366`)."""
     if mask is None:

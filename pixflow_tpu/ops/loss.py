@@ -105,6 +105,7 @@ def pixpro_pair_loss(
     pos_ratio: float = 0.5,
     flow: jnp.ndarray | None = None,
     flow_mask: jnp.ndarray | None = None,
+    reduce: bool = True,
 ):
     """Pixel-pair contrastive regression loss (reference `PixPro.py:92-247`).
 
@@ -163,7 +164,7 @@ def pixpro_pair_loss(
 
     pos_sum = jnp.sum(pos_f, axis=(1, 2))
     per_sample = jnp.sum(logit * pos_f, axis=(1, 2)) / (pos_sum + 1e-6)
-    loss = -2.0 * jnp.mean(per_sample)
+    loss = -2.0 * (jnp.mean(per_sample) if reduce else per_sample)
 
     pos_num = pos_sum
     pos_mean = jnp.mean(pos_f, axis=(1, 2))

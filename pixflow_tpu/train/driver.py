@@ -89,6 +89,9 @@ def train(cfg: PretrainConfig):
     loader = build_pretrain_loader(
         cfg, global_batch_size=global_batch,
         num_hosts=jax.process_count(), host_id=jax.process_index())
+    if cfg.data.zip_mode and cfg.data.cache_mode != "no":
+        loader.dataset.init_cache(cfg.data.cache_mode, jax.process_index(),
+                                  jax.process_count())
     steps_per_epoch = len(loader)
     num_instances = len(loader.dataset)
     logger.info("dataset: %d instances, %d steps/epoch",
@@ -141,6 +144,8 @@ def train(cfg: PretrainConfig):
         ema_base_momentum=cfg.model.pixpro_momentum,
         mesh=mesh, use_flow=use_flow,
         flow_up=cfg.flow.flow_up, flow_cat_norm=cfg.flow.flow_cat_norm,
+        use_flow_frames=cfg.flow.use_flow_frames and use_flow
+        and cfg.data.n_frames > 2,
         alpha1=cfg.flow.alpha1, alpha2=cfg.flow.alpha2,
         raft_fn=raft_fn)
 
@@ -150,15 +155,30 @@ def train(cfg: PretrainConfig):
     if cfg.runtime.debug_epochs:
         max_epoch = min(max_epoch, start_epoch + cfg.runtime.debug_epochs - 1)
 
+    profiling = False
     loss_meter, time_meter = AverageMeter(), AverageMeter()
     for epoch in range(start_epoch, max_epoch + 1):
         t_end = time.time()
         for idx, batch in enumerate(loader.epoch(epoch)):
-            n_eff = batch.pop("n_frames_eff", None)
+            if cfg.flow.use_flow_frames and cfg.flow.use_flow:
+                n_eff = batch.get("n_frames_eff")
+            else:
+                n_eff = batch.pop("n_frames_eff", None)
             batch.pop("index", None)
             batch.pop("target", None)
             device_batch = jax.device_put(batch, batch_sharding)
+
+            # optional jax profiler window over steps 10..15
+            global_step = int(state.step)
+            if cfg.runtime.profile_dir and global_step == 10 and not profiling:
+                jax.profiler.start_trace(cfg.runtime.profile_dir)
+                profiling = True
             state, metrics = step_fn(state, device_batch)
+            if profiling and global_step >= 15:
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("profiler trace written to %s",
+                            cfg.runtime.profile_dir)
 
             if idx % cfg.runtime.print_freq == 0 or idx == steps_per_epoch - 1:
                 metrics = {k: float(v) for k, v in metrics.items()}
@@ -168,6 +188,10 @@ def train(cfg: PretrainConfig):
                 if "mask_ratio_fwd" in metrics:
                     extra = (f" mask_r {metrics['mask_ratio_fwd']:.3f}/"
                              f"{metrics['mask_ratio_bwd']:.3f}")
+                if n_eff is not None:
+                    from ..data.datasets import frame_stats
+                    mean_f, no_flow_r, _ = frame_stats(n_eff, cfg.data.n_frames)
+                    extra += f" frames {mean_f:.2f} (no-flow {no_flow_r:.1%})"
                 logger.info(
                     "Train: [%d/%d][%d/%d] time %.3f lr %.4f "
                     "loss %.4f (%.4f) [+4: %.4f] pos_num %.4g pos_mean %.3f%s",
@@ -175,6 +199,19 @@ def train(cfg: PretrainConfig):
                     time_meter.val, metrics["lr"], metrics["loss"],
                     loss_meter.avg, metrics["loss"] + 4.0,
                     metrics["pos_num"], metrics["pos_mean"], extra)
+                if cfg.runtime.debug and jax.process_index() == 0:
+                    from ..utils.visualize import save_debug_bundle
+                    dbg = os.path.join(cfg.runtime.output_dir, "test_imgs")
+                    flow_dbg = mask_dbg = None
+                    if use_flow and "flows_fwd" in batch:
+                        from ..ops.flow import compose_and_mask
+                        flow_dbg, _, mask_dbg, _ = compose_and_mask(
+                            batch["flows_fwd"][:2], batch["flows_bwd"][:2],
+                            flow_up=cfg.flow.flow_up, use_flow_frames=False,
+                            alpha_1=cfg.flow.alpha1, alpha_2=cfg.flow.alpha2,
+                            is_norm=cfg.flow.flow_cat_norm)
+                    save_debug_bundle(dbg, global_step, batch, flow_dbg,
+                                      mask_dbg)
             t_end = time.time()
 
         if jax.process_index() == 0 and (

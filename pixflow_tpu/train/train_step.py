@@ -61,10 +61,8 @@ def make_train_step(
     Returns step_fn(state, batch) -> (new_state, metrics).
     """
     if use_flow_frames:
-        raise NotImplementedError(
-            "multi-span flow-frames training is not wired into the step yet "
-            "(the reference's checked-in version of this path crashes on a "
-            "missing calc_frame_ratio; see SURVEY.md §4.6)")
+        assert use_flow and raft_fn is None, \
+            "multi-span training uses precomputed flow files"
     assert getattr(model, "axis_name", None) is None, \
         "GSPMD step: build the model with axis_name=None (BN stats are " \
         "global through sharding propagation, not named collectives)"
@@ -83,16 +81,29 @@ def make_train_step(
                 flows_fwd, flows_bwd = batch["flows_fwd"], batch["flows_bwd"]
             flow_fwd, flow_bwd, mask_fwd, mask_bwd = compose_and_mask(
                 flows_fwd, flows_bwd, flow_up=flow_up,
-                use_flow_frames=False, alpha_1=alpha1, alpha_2=alpha2,
-                is_norm=flow_cat_norm)
+                use_flow_frames=use_flow_frames, alpha_1=alpha1,
+                alpha_2=alpha2, is_norm=flow_cat_norm)
 
         def loss_fn(p):
             variables = {"params": p, "batch_stats": state.batch_stats}
-            (loss, stats), mut = model.apply(
-                variables,
-                batch["im1"], batch["im2"], batch["coord1"], batch["coord2"],
-                flow_fwd, flow_bwd, mask_fwd, mask_bwd,
-                train=True, mutable=["batch_stats"])
+            if use_flow_frames:
+                from ..ops.flow import span_windows
+                spans = span_windows(batch["flows_fwd"].shape[1])
+                (loss, stats), mut = model.apply(
+                    variables,
+                    batch["ims1"], batch["ims2"],
+                    batch["coords1"], batch["coords2"],
+                    flow_fwd, flow_bwd, mask_fwd, mask_bwd,
+                    spans, batch["n_frames_eff"],
+                    train=True, mutable=["batch_stats"],
+                    method=model.multi_span_loss)
+            else:
+                (loss, stats), mut = model.apply(
+                    variables,
+                    batch["im1"], batch["im2"],
+                    batch["coord1"], batch["coord2"],
+                    flow_fwd, flow_bwd, mask_fwd, mask_bwd,
+                    train=True, mutable=["batch_stats"])
             return loss, (stats, mut["batch_stats"])
 
         (loss, (stats, new_bs)), grads = jax.value_and_grad(

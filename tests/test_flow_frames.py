@@ -1,0 +1,103 @@
+"""Multi-span (use_flow_frames) training mode tests."""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pixflow_tpu.models import PixPro
+from pixflow_tpu.ops.flow import span_windows, all_concat_flow
+from pixflow_tpu.train import (create_train_state, make_train_step, lars_sgd,
+                               frozen_momentum_branch_mask, warmup_cosine)
+
+RNG = np.random.default_rng(41)
+
+
+def test_span_windows_matches_all_concat_order():
+    spans = span_windows(3)
+    assert spans == [(1, 0), (1, 1), (1, 2), (2, 0), (2, 1), (3, 0)]
+    # window i of all_concat_flow composes exactly flows [s, s+l)
+    flows = RNG.standard_normal((3, 1, 6, 6, 2)).astype(np.float32)
+    stacked, _ = all_concat_flow(jnp.asarray(flows), jnp.asarray(flows),
+                                 use_flow_frames=True)
+    assert stacked.shape[0] == len(spans)
+    for i, (l, s) in enumerate(spans):
+        if l == 1:
+            np.testing.assert_allclose(np.asarray(stacked[i]), flows[s])
+
+
+def _coords(b, f):
+    out = np.zeros((b, f, 10), np.float32)
+    for i in range(b):
+        for j in range(f):
+            x, y, w, h = (RNG.integers(0, 400), RNG.integers(0, 200),
+                          RNG.integers(200, 600), RNG.integers(150, 400))
+            out[i, j] = [x / 1279, y / 719, (x + w - 1) / 1279,
+                         (y + h - 1) / 719, x, y, w, h, 1280, 720]
+    return out
+
+
+def test_multi_span_train_step_runs_and_learns():
+    n_frames, b, hw = 4, 4, 64
+    f = n_frames - 1
+    k = n_frames - 1
+    batch = {
+        "ims1": jnp.asarray(RNG.standard_normal((b, f, hw, hw, 3)).astype(np.float32)),
+        "ims2": jnp.asarray(RNG.standard_normal((b, f, hw, hw, 3)).astype(np.float32)),
+        "coords1": jnp.asarray(_coords(b, f)),
+        "coords2": jnp.asarray(_coords(b, f)),
+        "flows_fwd": jnp.asarray(RNG.standard_normal((b, k, 16, 16, 2)).astype(np.float32)),
+        "flows_bwd": jnp.asarray(RNG.standard_normal((b, k, 16, 16, 2)).astype(np.float32)),
+        "n_frames_eff": jnp.asarray([4, 4, 3, 2], jnp.int32),  # ragged videos
+    }
+    model = PixPro(arch="resnet18", pixpro_p=2.0, pixpro_transform_layer=1,
+                   proj_inner_dim=64, proj_out_dim=32)
+    lr = warmup_cosine(0.1, 10, 1, 5)
+    tx0 = lars_sgd(lr, weight_decay=1e-5)
+    state = create_train_state(jax.random.PRNGKey(0), model, tx0,
+                               {"im1": batch["ims1"][:1, 0]})
+    tx = lars_sgd(lr, weight_decay=1e-5,
+                  frozen_mask=frozen_momentum_branch_mask(state.params))
+    state = state.replace(opt_state=tx.init(state.params))
+    step = make_train_step(model, tx, lr_schedule=lr, ema_total_steps=50,
+                           ema_base_momentum=0.99, use_flow=True,
+                           use_flow_frames=True, alpha1=0.01, alpha2=0.5,
+                           donate=False)
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_dataset_emits_frame_crop_stacks(tmp_path):
+    from PIL import Image
+    import torch
+    from pixflow_tpu.data import VideoFrameDataset, get_transform, list_image_folder
+
+    for v in range(2):
+        vd = tmp_path / "train" / f"v{v}"
+        vd.mkdir(parents=True)
+        for fr in range(5):
+            Image.fromarray(RNG.integers(0, 255, (36, 64, 3)).astype(
+                np.uint8)).save(vd / f"f{fr:02d}.jpg")
+    for d in ("fw", "bw"):
+        (tmp_path / d).mkdir()
+        for v in range(2):
+            torch.save(torch.randn(4, 2, 5, 8), tmp_path / d / f"v{v}.pth")
+
+    ds = VideoFrameDataset(
+        samples=list_image_folder(str(tmp_path / "train"), "bdd100k"),
+        transform=get_transform("BYOL", 0.5, 24),
+        n_frames=4, two_crop=True, use_flow_frames=True,
+        flow_fwd_root=str(tmp_path / "fw"), flow_bwd_root=str(tmp_path / "bw"))
+    s = ds.__getitem__(0, random.Random(0))
+    assert s["ims1"].shape == (3, 24, 24, 3)
+    assert s["ims2"].shape == (3, 24, 24, 3)
+    assert s["coords1"].shape == (3, 10)
+    assert s["flows_fwd"].shape == (3, 5, 8, 2)
+    assert int(s["n_frames_eff"]) == 4

@@ -1,0 +1,22 @@
+#!/usr/bin/env python
+"""Pack per-video flow files (.pth/.npy directories) into flowpack shards
+served by the native mmap reader (see native/flowpack.cpp)."""
+
+import argparse
+
+from pixflow_tpu.data.flowpack import pack_flow_dir
+
+
+def main():
+    p = argparse.ArgumentParser("pack flow files into a flowpack shard")
+    p.add_argument("flow_dir", help="directory of per-video .pth/.npy files")
+    p.add_argument("out", help="output .fpk shard path")
+    p.add_argument("--dtype", choices=["float16", "float32"],
+                   default="float16")
+    a = p.parse_args()
+    pack_flow_dir(a.flow_dir, a.out, a.dtype)
+    print(a.out)
+
+
+if __name__ == "__main__":
+    main()
