@@ -74,6 +74,45 @@ def test_multi_span_train_step_runs_and_learns():
     assert losses[-1] < losses[0]
 
 
+def test_live_raft_train_step():
+    """On-the-fly flow path: frozen RAFT inside the compiled train step
+    (reference `util.calc_optical_flow`/`mem_reduce_calc_optical_flow`)."""
+    from pixflow_tpu.models.raft import RAFT, raft_batch_flows
+
+    b, n, hw = 2, 2, 32
+    raft = RAFT(small=True)
+    frames = jnp.asarray(RNG.integers(0, 255, (b, n, hw, hw, 3)).astype(np.float32))
+    raft_vars = raft.init(jax.random.PRNGKey(1), frames[:, 0], frames[:, 1],
+                          iters=1)
+
+    def raft_fn(fr):
+        return raft_batch_flows(raft, raft_vars, fr, iters=1)
+
+    coords = _coords(b, 1)[:, 0]
+    batch = {
+        "im1": jnp.asarray(RNG.standard_normal((b, hw, hw, 3)).astype(np.float32)),
+        "im2": jnp.asarray(RNG.standard_normal((b, hw, hw, 3)).astype(np.float32)),
+        "coord1": jnp.asarray(coords), "coord2": jnp.asarray(coords),
+        "frames": frames,
+    }
+    model = PixPro(arch="resnet18", pixpro_p=2.0, pixpro_transform_layer=1,
+                   proj_inner_dim=64, proj_out_dim=32)
+    lr = warmup_cosine(0.1, 10, 1, 5)
+    tx0 = lars_sgd(lr, weight_decay=1e-5)
+    state = create_train_state(jax.random.PRNGKey(0), model, tx0,
+                               {"im1": batch["im1"][:1]})
+    tx = lars_sgd(lr, weight_decay=1e-5,
+                  frozen_mask=frozen_momentum_branch_mask(state.params))
+    state = state.replace(opt_state=tx.init(state.params))
+    step = make_train_step(model, tx, lr_schedule=lr, ema_total_steps=50,
+                           ema_base_momentum=0.99, use_flow=True,
+                           alpha1=0.01, alpha2=0.5, raft_fn=raft_fn,
+                           donate=False)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "mask_ratio_fwd" in metrics
+
+
 def test_dataset_emits_frame_crop_stacks(tmp_path):
     from PIL import Image
     import torch
