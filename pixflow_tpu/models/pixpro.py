@@ -84,6 +84,11 @@ class PixPro(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     bn_momentum: float = 0.9
+    # perf opt-in: run both views through each branch as ONE 2B-batch pass
+    # (bigger convs -> better MXU utilization). BN statistics then pool both
+    # views jointly instead of per-view — a deliberate deviation from the
+    # reference's sequential two-call BN; off by default.
+    fuse_views: bool = False
 
     def setup(self):
         common = dict(dtype=self.dtype, axis_name=self.axis_name,
@@ -239,11 +244,22 @@ class PixPro(nn.Module):
         """Symmetric PixPro loss over the two views (reference
         `PixPro.py:368-439`). Flow (if given) warps each query grid onto the
         other view's frame. Returns (loss, stats_dict)."""
-        pred_1, inst_1 = self.online(im1, train)
-        pred_2, inst_2 = self.online(im2, train)
-
-        proj_1_ng, inst_1_ng = self.momentum_branch(im1, train)
-        proj_2_ng, inst_2_ng = self.momentum_branch(im2, train)
+        if self.fuse_views:
+            def split2(x):
+                return None if x is None else jnp.split(x, 2, axis=0)
+            both = jnp.concatenate([im1, im2], axis=0)
+            pred, inst = self.online(both, train)
+            (pred_1, pred_2), inst_12 = split2(pred), split2(inst)
+            inst_1, inst_2 = inst_12 if inst_12 else (None, None)
+            proj_ng, inst_ng = self.momentum_branch(both, train)
+            proj_1_ng, proj_2_ng = split2(proj_ng)
+            inst_ng12 = split2(inst_ng)
+            inst_1_ng, inst_2_ng = inst_ng12 if inst_ng12 else (None, None)
+        else:
+            pred_1, inst_1 = self.online(im1, train)
+            pred_2, inst_2 = self.online(im2, train)
+            proj_1_ng, inst_1_ng = self.momentum_branch(im1, train)
+            proj_2_ng, inst_2_ng = self.momentum_branch(im2, train)
         proj_1_ng = jax.lax.stop_gradient(proj_1_ng)
         proj_2_ng = jax.lax.stop_gradient(proj_2_ng)
 

@@ -1,0 +1,85 @@
+"""Config / CLI surface tests."""
+
+import json
+import sys
+
+import pytest
+
+from pixflow_tpu.configs import PretrainConfig, get_recipe, RECIPES
+
+
+def test_recipes_exist_and_match_reference_hparams():
+    cfg = get_recipe("pretrain_bdd100k_2000ep_nframe6")
+    assert cfg.data.n_frames == 6
+    assert cfg.data.batch_size == 64
+    assert cfg.model.pixpro_p == 2.0
+    assert cfg.model.pixpro_transform_layer == 1
+    assert cfg.model.pixpro_pos_ratio == 0.7
+    assert cfg.optim.optimizer == "lars"
+    assert cfg.optim.base_lr == 1.0
+    assert cfg.optim.weight_decay == 1e-5
+    assert cfg.optim.warmup_epoch == 5
+    assert cfg.optim.epochs == 2000
+    assert cfg.flow.use_flow and cfg.flow.use_flow_file
+    assert cfg.flow.alpha1 == 0.01 and cfg.flow.alpha2 == 0.5
+    assert cfg.flow.small
+
+    base = get_recipe("pretrain_bdd100k_2000ep")
+    assert base.data.n_frames == 1 and not base.flow.use_flow
+    assert base.data.batch_size == 128
+
+    assert set(RECIPES) >= {"pretrain_bdd100k_2000ep",
+                            "pretrain_bdd100k_2000ep_nframe2",
+                            "pretrain_bdd100k_2000ep_nframe6", "smoke_cpu"}
+
+
+def test_config_json_roundtrip():
+    cfg = get_recipe("pretrain_bdd100k_2000ep_nframe6")
+    cfg2 = PretrainConfig.from_json(cfg.to_json())
+    assert cfg2.data.n_frames == 6
+    assert cfg2.flow.alpha1 == 0.01
+    assert json.loads(cfg2.to_json())["model"]["pixpro_p"] == 2.0
+
+
+def _parse(argv):
+    import main_pretrain
+    old = sys.argv
+    sys.argv = ["main_pretrain.py"] + argv
+    try:
+        return main_pretrain.parse_args()
+    finally:
+        sys.argv = old
+
+
+def test_cli_reference_flag_surface():
+    cfg = _parse(["--arch", "resnet50", "--batch-size", "32",
+                  "--pixpro-p", "2", "--pixpro-pos-ratio", "0.7",
+                  "--use_flow", "--use_flow_file", "--flow_up",
+                  "--alpha1", "0.01", "--alpha2", "0.5",
+                  "--n-frames", "6", "--optimizer", "lars",
+                  "--base-lr", "1.0", "--epochs", "2000",
+                  "--flow_model", "weights/raft-small.pth"])
+    assert cfg.data.batch_size == 32
+    assert cfg.model.pixpro_p == 2.0
+    assert cfg.flow.use_flow and cfg.flow.flow_up
+    assert cfg.flow.small  # inferred from checkpoint name
+    assert cfg.optim.epochs == 2000
+
+
+def test_cli_recipe_with_overrides():
+    cfg = _parse(["--recipe", "pretrain_bdd100k_2000ep_nframe6",
+                  "--batch-size", "16", "--epochs", "10"])
+    # explicit flags override the recipe...
+    assert cfg.data.batch_size == 16
+    assert cfg.optim.epochs == 10
+    # ...unspecified recipe values survive
+    assert cfg.data.n_frames == 6
+    assert cfg.flow.alpha1 == 0.01
+    assert cfg.model.pixpro_transform_layer == 1
+
+
+def test_wandb_run_name():
+    from pixflow_tpu.utils.logger import wandb_run_name
+    cfg = get_recipe("pretrain_bdd100k_2000ep_nframe6")
+    name = wandb_run_name(cfg)
+    assert "resnet50" in name and "nf6" in name and "flow" in name

@@ -129,6 +129,23 @@ def test_pixpro_gradients_skip_momentum_branch(tiny_pixpro):
     assert np.abs(gq).sum() > 0.0
 
 
+def test_fuse_views_runs_and_matches_structure(tiny_pixpro):
+    """fuse_views=True (single 2B-batch pass per branch) must produce the
+    same loss up to BN-statistics differences (joint vs per-view stats)."""
+    model, params, batch_stats, im = tiny_pixpro
+    fused = PixPro(arch="resnet18", pixpro_p=2.0, pixpro_transform_layer=1,
+                   proj_inner_dim=64, proj_out_dim=32, fuse_views=True)
+    coord = jnp.asarray(np.tile(np.array([0.1, 0.1, 0.4, 0.4, 128, 72, 384,
+                                          216, 1280, 720], np.float32), (2, 1)))
+    (loss, stats), _ = fused.apply(
+        {"params": params, "batch_stats": batch_stats},
+        im, im, coord, coord, train=True, mutable=["batch_stats"])
+    assert np.isfinite(float(loss))
+    # identical views through identical branches: both views' stats agree
+    np.testing.assert_allclose(np.asarray(stats["pos_num_1"]),
+                               np.asarray(stats["pos_num_2"]))
+
+
 def test_ema_update_math():
     params = {"encoder": {"w": jnp.ones((2, 2))},
               "encoder_k": {"w": jnp.zeros((2, 2))}}
