@@ -103,7 +103,7 @@ class ShardedLoader:
 
 
 def _collate(samples) -> Dict[str, np.ndarray]:
-    keys = samples[0].keys()
+    keys = [k for k, v in samples[0].items() if v is not None]
     return {k: np.stack([s[k] for s in samples]) for k in keys}
 
 

@@ -41,6 +41,7 @@ def evaluate(state, eval_step, loader, to_device):
     sums = {"loss": 0.0, "acc1": 0.0, "acc5": 0.0}
     n = 0
     for batch in loader.epoch(0):
+        batch = {"image": batch["im1"], "label": batch["target"]}
         m = eval_step(state, to_device(batch))
         bs = batch["image"].shape[0]
         for k in sums:

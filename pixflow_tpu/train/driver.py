@@ -155,6 +155,13 @@ def train(cfg: PretrainConfig):
     if cfg.runtime.debug_epochs:
         max_epoch = min(max_epoch, start_epoch + cfg.runtime.debug_epochs - 1)
 
+    metrics_writer = None
+    if jax.process_index() == 0:
+        from ..utils.metrics_writer import MetricsWriter
+        from ..utils.logger import init_wandb
+        metrics_writer = MetricsWriter(cfg.runtime.output_dir,
+                                       wandb_run=init_wandb(cfg))
+
     profiling = False
     loss_meter, time_meter = AverageMeter(), AverageMeter()
     for epoch in range(start_epoch, max_epoch + 1):
@@ -199,6 +206,14 @@ def train(cfg: PretrainConfig):
                     time_meter.val, metrics["lr"], metrics["loss"],
                     loss_meter.avg, metrics["loss"] + 4.0,
                     metrics["pos_num"], metrics["pos_mean"], extra)
+                if metrics_writer is not None:
+                    scalars = dict(metrics)
+                    scalars["loss_plus4"] = metrics["loss"] + 4.0
+                    scalars["epoch"] = epoch
+                    if n_eff is not None:
+                        scalars["mean_n_frames"] = mean_f
+                        scalars["no_optical_flow_ratio"] = no_flow_r
+                    metrics_writer.write(global_step, scalars)
                 if cfg.runtime.debug and jax.process_index() == 0:
                     from ..utils.visualize import save_debug_bundle
                     dbg = os.path.join(cfg.runtime.output_dir, "test_imgs")
@@ -220,4 +235,6 @@ def train(cfg: PretrainConfig):
                                    cfg.to_json())
             logger.info("saved checkpoint %s", path)
 
+    if metrics_writer is not None:
+        metrics_writer.close()
     return state
