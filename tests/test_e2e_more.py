@@ -1,0 +1,116 @@
+"""Additional end-to-end driver coverage: ImageNet (non-video) pretraining,
+zip-archive datasets, and the multi-span flow-frames mode through the full
+driver."""
+
+import io
+import os
+import zipfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+def _tiny_cfg(data_dir, out_dir):
+    from pixflow_tpu.configs import PretrainConfig
+    cfg = PretrainConfig()
+    cfg.data.data_dir = data_dir
+    cfg.data.aug = "NULL"
+    cfg.data.crop = 0.5
+    cfg.data.image_size = 64
+    cfg.data.batch_size = 1
+    cfg.data.num_workers = 1
+    cfg.model.arch = "resnet18"
+    cfg.model.pixpro_transform_layer = 1
+    cfg.optim.epochs = 1
+    cfg.optim.warmup_epoch = 0
+    cfg.runtime.output_dir = out_dir
+    cfg.runtime.compute_dtype = "float32"
+    cfg.runtime.print_freq = 1
+    cfg.runtime.save_freq = 1
+    return cfg
+
+
+def test_imagenet_mode_pretrain(tmp_path):
+    """Flat image dataset (dataset='ImageNet'): two crops of the SAME image
+    per sample, n_frames=1 — the original PixPro protocol."""
+    rng = np.random.default_rng(3)
+    for cls in ("a", "b"):
+        d = tmp_path / "data" / "train" / cls
+        d.mkdir(parents=True)
+        for i in range(4):
+            Image.fromarray(rng.integers(0, 255, (72, 96, 3)).astype(
+                np.uint8)).save(d / f"{i}.jpg")
+
+    from pixflow_tpu.train.driver import train
+    cfg = _tiny_cfg(str(tmp_path / "data"), str(tmp_path / "out"))
+    cfg.data.dataset = "ImageNet"
+    state = train(cfg)
+    assert int(state.step) == 1  # 8 images / global batch 8
+
+
+def test_zip_mode_pretrain(tmp_path):
+    """zip-archive dataset with an annotation file (reference --zip
+    --cache-mode part protocol)."""
+    rng = np.random.default_rng(4)
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    names, lines = [], []
+    with zipfile.ZipFile(data_dir / "train.zip", "w") as zf:
+        for v in range(8):
+            for f in range(2):
+                arr = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, format="JPEG")
+                inner = f"video{v:02d}/frame{f:02d}.jpg"
+                zf.writestr(inner, buf.getvalue())
+                lines.append(f"{inner}\t{v}")
+    (data_dir / "train_map.txt").write_text("\n".join(lines) + "\n")
+
+    from pixflow_tpu.train.driver import train
+    cfg = _tiny_cfg(str(data_dir), str(tmp_path / "out"))
+    cfg.data.dataset = "bdd100k"
+    cfg.data.zip_mode = True
+    cfg.data.ann_file = "train_map.txt"
+    cfg.data.cache_mode = "part"
+    cfg.data.n_frames = 2
+    state = train(cfg)
+    assert int(state.step) == 1
+
+
+def test_flow_frames_mode_through_driver(tmp_path):
+    """use_flow_frames end-to-end: driver builds the multi-span step."""
+    import torch
+    rng = np.random.default_rng(5)
+    root = tmp_path / "data"
+    for v in range(8):
+        vd = root / "train" / f"v{v:02d}"
+        vd.mkdir(parents=True)
+        for f in range(4):
+            Image.fromarray(rng.integers(0, 255, (48, 64, 3)).astype(
+                np.uint8)).save(vd / f"f{f:02d}.jpg")
+    for d in ("forward", "backward"):
+        (root / "flow" / d).mkdir(parents=True)
+        for v in range(8):
+            torch.save(torch.randn(3, 2, 6, 8),
+                       root / "flow" / d / f"v{v:02d}.pth")
+
+    from pixflow_tpu.train.driver import train
+    cfg = _tiny_cfg(str(root), str(tmp_path / "out"))
+    cfg.data.dataset = "bdd100k"
+    cfg.data.n_frames = 4
+    cfg.flow.use_flow = True
+    cfg.flow.use_flow_file = True
+    cfg.flow.use_flow_frames = True
+    cfg.flow.flow_root = str(root / "flow")
+    cfg.flow.fwd_name = "forward"
+    cfg.flow.bwd_name = "backward"
+    cfg.flow.alpha1 = 0.01
+    cfg.flow.alpha2 = 0.5
+    # flow_root/<prefix> layout: point the roots directly
+    cfg.flow.flow_root = str(root / "flow_prefixed")
+    os.makedirs(root / "flow_prefixed")
+    os.symlink(root / "flow", root / "flow_prefixed" / "train")
+
+    state = train(cfg)
+    assert int(state.step) == 1
