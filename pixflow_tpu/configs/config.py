@@ -93,6 +93,7 @@ class RuntimeConfig:
     compute_dtype: str = "bfloat16"    # 'bfloat16' | 'float32' (amp O1-ish vs O0)
     mesh_shape: Optional[int] = None   # data-parallel mesh size; None = all devices
     profile_dir: str = ""              # write a jax.profiler trace of steps 10-15
+    tensorboard: bool = True           # tf.summary scalars next to metrics.jsonl
     wandb: bool = False
     wandb_project: str = "pixflow-tpu"
     wandb_entity: str = ""

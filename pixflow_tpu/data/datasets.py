@@ -89,6 +89,16 @@ def list_annotation_file(ann_file: str, img_prefix: str = "",
     return flat
 
 
+def list_coco_annotations(ann_file: str, img_prefix: str = ""):
+    """COCO instances json -> flat [(path, 0)] listing (capability of
+    reference `make_dataset_with_ann`'s COCO branch, `dataset.py:71-83`;
+    plain json parse, no pycocotools dependency)."""
+    import json as _json
+    with open(ann_file) as f:
+        images = _json.load(f)["images"]
+    return [(os.path.join(img_prefix, im["file_name"]), 0) for im in images]
+
+
 def load_image(path) -> Image.Image:
     if isinstance(path, bytes):
         img = Image.open(io.BytesIO(path))

@@ -160,6 +160,7 @@ def train(cfg: PretrainConfig):
         from ..utils.metrics_writer import MetricsWriter
         from ..utils.logger import init_wandb
         metrics_writer = MetricsWriter(cfg.runtime.output_dir,
+                                       use_tensorboard=cfg.runtime.tensorboard,
                                        wandb_run=init_wandb(cfg))
 
     profiling = False
