@@ -28,6 +28,10 @@ class DataConfig:
     n_frames: int = 1
     num_workers: int = 4
     batch_size: int = 64               # per replica (reference: per GPU)
+    # transfer efficiency: ship uint8 crops (normalize on device) and f16
+    # flow windows; 4x / 2x less host->device traffic, numerically benign
+    uint8_transfer: bool = True
+    flow_transfer_dtype: str = "float16"
 
 
 @dataclass

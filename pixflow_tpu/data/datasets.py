@@ -155,6 +155,7 @@ class VideoFrameDataset:
     load_raw_frames: bool = False          # raw uint8 frames for live RAFT
     raw_frame_size: Optional[Tuple[int, int]] = None  # (H, W) resize for RAFT
     use_flow_frames: bool = False          # per-frame crop stacks (multi-span)
+    flow_dtype: str = "float32"            # 'float16' halves transfer bytes
 
     def __post_init__(self):
         self.use_flow_file = bool(self.flow_fwd_root) and bool(self.flow_bwd_root)
@@ -272,8 +273,9 @@ class VideoFrameDataset:
                 fwd, num_flow = load_flow_file(fwd_path, start, start + k_eff)
                 bs, bn = mirrored_window(start, start + k_eff, num_flow)
                 bwd, _ = load_flow_file(bwd_path, bs, bn)
-            sample["flows_fwd"] = _pad_flows(fwd, self.n_flows)
-            sample["flows_bwd"] = _pad_flows(bwd, self.n_flows)
+            out_dt = np.float16 if self.flow_dtype == "float16" else np.float32
+            sample["flows_fwd"] = _pad_flows(fwd, self.n_flows).astype(out_dt)
+            sample["flows_bwd"] = _pad_flows(bwd, self.n_flows).astype(out_dt)
 
         if self.load_raw_frames:
             raws = []

@@ -117,7 +117,8 @@ def build_pretrain_loader(cfg, *, global_batch_size: Optional[int] = None,
     data, flow = cfg.data, cfg.flow
 
     transform = get_transform(data.aug, data.crop, data.image_size,
-                              data.crop_ratio)
+                              data.crop_ratio,
+                              emit_uint8=getattr(data, "uint8_transfer", True))
 
     fwd_root = bwd_root = ""
     if flow.use_flow and flow.use_flow_file:
@@ -151,6 +152,7 @@ def build_pretrain_loader(cfg, *, global_batch_size: Optional[int] = None,
         load_raw_frames=live_raft,
         use_flow_frames=flow.use_flow and flow.use_flow_frames
         and data.n_frames > 2,
+        flow_dtype=getattr(data, "flow_transfer_dtype", "float16"),
     )
 
     # cfg.data.batch_size is per replica (reference: per GPU); the driver

@@ -165,6 +165,9 @@ def train(cfg: PretrainConfig):
 
     profiling = False
     loss_meter, time_meter = AverageMeter(), AverageMeter()
+    # host-side mirror of state.step: fetching the device scalar every
+    # iteration would force a device sync per step (costly via tunnels)
+    global_step = int(state.step)
     for epoch in range(start_epoch, max_epoch + 1):
         t_end = time.time()
         for idx, batch in enumerate(loader.epoch(epoch)):
@@ -177,11 +180,11 @@ def train(cfg: PretrainConfig):
             device_batch = jax.device_put(batch, batch_sharding)
 
             # optional jax profiler window over steps 10..15
-            global_step = int(state.step)
             if cfg.runtime.profile_dir and global_step == 10 and not profiling:
                 jax.profiler.start_trace(cfg.runtime.profile_dir)
                 profiling = True
             state, metrics = step_fn(state, device_batch)
+            global_step += 1
             if profiling and global_step >= 15:
                 jax.profiler.stop_trace()
                 profiling = False
@@ -222,7 +225,8 @@ def train(cfg: PretrainConfig):
                     if use_flow and "flows_fwd" in batch:
                         from ..ops.flow import compose_and_mask
                         flow_dbg, _, mask_dbg, _ = compose_and_mask(
-                            batch["flows_fwd"][:2], batch["flows_bwd"][:2],
+                            np.asarray(batch["flows_fwd"][:2], np.float32),
+                            np.asarray(batch["flows_bwd"][:2], np.float32),
                             flow_up=cfg.flow.flow_up, use_flow_frames=False,
                             alpha_1=cfg.flow.alpha1, alpha_2=cfg.flow.alpha2,
                             is_norm=cfg.flow.flow_cat_norm)

@@ -29,9 +29,25 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
 from ..models.pixpro import ema_update, momentum_schedule
 from ..ops.flow import compose_and_mask, mask_ratio
 from ..parallel.mesh import DATA_AXIS
+
+_MEAN = jnp.asarray(IMAGENET_MEAN)
+_STD = jnp.asarray(IMAGENET_STD)
+
+
+def _prep_images(x):
+    """Device-side ImageNet normalization for uint8-transferred batches
+    (4x less host->device traffic than pre-normalized f32)."""
+    if x.dtype == jnp.uint8:
+        return (x.astype(jnp.float32) / 255.0 - _MEAN) / _STD
+    return x
+
+
+def _prep_flows(x):
+    return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
 
 
 def make_train_step(
@@ -78,7 +94,8 @@ def make_train_step(
             if raft_fn is not None:
                 flows_fwd, flows_bwd = raft_fn(batch["frames"])
             else:
-                flows_fwd, flows_bwd = batch["flows_fwd"], batch["flows_bwd"]
+                flows_fwd = _prep_flows(batch["flows_fwd"])
+                flows_bwd = _prep_flows(batch["flows_bwd"])
             flow_fwd, flow_bwd, mask_fwd, mask_bwd = compose_and_mask(
                 flows_fwd, flows_bwd, flow_up=flow_up,
                 use_flow_frames=use_flow_frames, alpha_1=alpha1,
@@ -91,7 +108,7 @@ def make_train_step(
                 spans = span_windows(batch["flows_fwd"].shape[1])
                 (loss, stats), mut = model.apply(
                     variables,
-                    batch["ims1"], batch["ims2"],
+                    _prep_images(batch["ims1"]), _prep_images(batch["ims2"]),
                     batch["coords1"], batch["coords2"],
                     flow_fwd, flow_bwd, mask_fwd, mask_bwd,
                     spans, batch["n_frames_eff"],
@@ -100,7 +117,7 @@ def make_train_step(
             else:
                 (loss, stats), mut = model.apply(
                     variables,
-                    batch["im1"], batch["im2"],
+                    _prep_images(batch["im1"]), _prep_images(batch["im2"]),
                     batch["coord1"], batch["coord2"],
                     flow_fwd, flow_bwd, mask_fwd, mask_bwd,
                     train=True, mutable=["batch_stats"])
