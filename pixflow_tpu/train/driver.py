@@ -123,6 +123,23 @@ def train(cfg: PretrainConfig):
     tx = build_optimizer(cfg, lr_schedule, state.params)
     state = state.replace(opt_state=tx.init(state.params))
 
+    # warm start from published weights (reference load_pretrained,
+    # `main_pretrain.py:86-93`): model params/stats only, optimizer fresh
+    if cfg.runtime.pretrained_model:
+        from ..utils.checkpoint import load_published
+        pub = load_published(cfg.runtime.pretrained_model)
+        params = dict(state.params)
+        stats = dict(state.batch_stats)
+        for k, v in pub["params"].items():
+            if k in params:
+                params[k] = jax.tree.map(jnp.asarray, v)
+        for k, v in pub.get("batch_stats", {}).items():
+            if k in stats:
+                stats[k] = jax.tree.map(jnp.asarray, v)
+        state = state.replace(params=params, batch_stats=stats)
+        logger.info("loaded pretrained model %s (epoch %s)",
+                    cfg.runtime.pretrained_model, pub.get("epoch"))
+
     start_epoch = cfg.optim.start_epoch
     resume_path = cfg.runtime.resume
     if cfg.runtime.auto_resume and not resume_path:
