@@ -1,0 +1,175 @@
+"""Pallas TPU kernel: fused pixel-pair similarity loss.
+
+Fuses the whole per-sample pair computation of `ops.loss.pixpro_pair_loss`
+(reference `PixPro.py:92-247`) into one VMEM-resident program per batch
+element: bin-center distance matrix -> positive mask (pos_ratio x max bin
+diagonal, AND flow-validity) -> q.k logits on the MXU -> masked reduction.
+Returns per-sample (sum(logit*mask), sum(mask)).
+
+Gradients use an analytic custom VJP (the mask is constant w.r.t. features):
+
+    d/dq [ sum(q^T k * M) / S ] = (M  @ k) / S
+    d/dk [ sum(q^T k * M) / S ] = (M^T @ q) / S
+
+so the backward pass is two small einsums — no differentiation through the
+kernel. The XLA composition in ops/loss.py remains the default; this kernel
+is the fused fast path (`pixpro_pair_loss_fused`) and must match it exactly
+(tested)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except ImportError:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def _pair_kernel(q_ref, k_ref, qx_ref, qy_ref, kx_ref, ky_ref, scale_ref,
+                 ptsmask_ref, lsum_ref, msum_ref, *, n, c, pos_ratio,
+                 use_mask):
+    # blocks are per-sample: q/k [1, N, C]; centers [1, 1, N] (the unit axis
+    # satisfies the TPU (8,128)-divisibility rule); scale [1, 1, 1];
+    # outputs are SMEM scalars (masked logit sum, mask sum)
+    qx = qx_ref[0, 0]
+    qy = qy_ref[0, 0]
+    kx = kx_ref[0, 0]
+    ky = ky_ref[0, 0]
+    inv_diag = scale_ref[0, 0, 0]
+
+    dx = qx[:, None] - kx[None, :]
+    dy = qy[:, None] - ky[None, :]
+    dist = jnp.sqrt(dx * dx + dy * dy) * inv_diag
+    mask = (dist < pos_ratio).astype(jnp.float32)
+    if use_mask:
+        mask = mask * ptsmask_ref[0, 0][:, None]
+
+    logit = jnp.dot(q_ref[0], k_ref[0].T, preferred_element_type=jnp.float32)
+    lsum_ref[0, 0, 0] = jnp.sum(logit * mask)
+    msum_ref[0, 0, 0] = jnp.sum(mask)
+
+
+def _pair_sums_pallas(q, k, qx, qy, kx, ky, inv_diag, pts_mask, pos_ratio,
+                      interpret=False):
+    """-> [B, 2]: per-sample (sum(logit*mask), sum(mask))."""
+    b, n, c = q.shape
+    use_mask = pts_mask is not None
+    if pts_mask is None:
+        pts_mask = jnp.ones((b, n), jnp.float32)
+
+    vm = pltpu.VMEM if _HAS_PALLAS else None
+    spec_n = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=vm)
+    out = pl.pallas_call(
+        functools.partial(_pair_kernel, n=n, c=c, pos_ratio=pos_ratio,
+                          use_mask=use_mask),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=vm),
+            spec_n, spec_n, spec_n, spec_n,
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=vm),
+            spec_n,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM if _HAS_PALLAS else None),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM if _HAS_PALLAS else None),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1, 1), jnp.float32)),
+        interpret=interpret,
+    )(q.astype(jnp.float32), k.astype(jnp.float32),
+      qx.astype(jnp.float32).reshape(b, 1, n),
+      qy.astype(jnp.float32).reshape(b, 1, n),
+      kx.astype(jnp.float32).reshape(b, 1, n),
+      ky.astype(jnp.float32).reshape(b, 1, n),
+      inv_diag.astype(jnp.float32).reshape(b, 1, 1),
+      pts_mask.astype(jnp.float32).reshape(b, 1, n))
+    lsum, msum = out
+    return jnp.concatenate([lsum[:, 0], msum[:, 0]], axis=1)
+
+
+def _recompute_mask(qx, qy, kx, ky, inv_diag, pts_mask, pos_ratio):
+    dist = jnp.sqrt((qx[:, :, None] - kx[:, None, :]) ** 2
+                    + (qy[:, :, None] - ky[:, None, :]) ** 2)
+    mask = (dist * inv_diag[:, None, None] < pos_ratio).astype(jnp.float32)
+    if pts_mask is not None:
+        mask = mask * pts_mask.astype(jnp.float32)[:, :, None]
+    return mask
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_pair_sums(q, k, qx, qy, kx, ky, inv_diag, pts_mask,
+                    pos_ratio: float, interpret: bool = False):
+    """Differentiable fused per-sample (masked logit sum, mask sum)."""
+    return _pair_sums_pallas(q, k, qx, qy, kx, ky, inv_diag, pts_mask,
+                             pos_ratio, interpret)
+
+
+def _fwd(q, k, qx, qy, kx, ky, inv_diag, pts_mask, pos_ratio, interpret):
+    out = _pair_sums_pallas(q, k, qx, qy, kx, ky, inv_diag, pts_mask,
+                            pos_ratio, interpret)
+    return out, (q, k, qx, qy, kx, ky, inv_diag, pts_mask)
+
+
+def _bwd(pos_ratio, interpret, res, g):
+    q, k, qx, qy, kx, ky, inv_diag, pts_mask = res
+    mask = _recompute_mask(qx, qy, kx, ky, inv_diag, pts_mask, pos_ratio)
+    g_logit = g[:, 0][:, None, None]  # cotangent of the masked logit sum
+    dq = (g_logit * mask) @ k.astype(jnp.float32)
+    dk = (g_logit * mask).transpose(0, 2, 1) @ q.astype(jnp.float32)
+    zeros = lambda x: jnp.zeros_like(x)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), zeros(qx), zeros(qy),
+            zeros(kx), zeros(ky), zeros(inv_diag),
+            None if pts_mask is None else zeros(pts_mask))
+
+
+fused_pair_sums.defvjp(_fwd, _bwd)
+
+
+def pixpro_pair_loss_fused(q, k, coord_q, coord_k, pos_ratio=0.5,
+                           flow=None, flow_mask=None, interpret=False):
+    """Drop-in fused version of ops.loss.pixpro_pair_loss (same signature
+    and return contract)."""
+    from ..loss import bin_centers, warp_points_with_flow
+
+    b, h, w, c = q.shape
+    n = h * w
+    q_x, q_y = bin_centers(coord_q, (h, w))
+    k_x, k_y = bin_centers(coord_k, (h, w))
+
+    w_orig = coord_q[:, 8][:, None, None]
+    h_orig = coord_q[:, 9][:, None, None]
+    q_bw = ((coord_q[:, 2] - coord_q[:, 0]) / w)[:, None, None]
+    q_bh = ((coord_q[:, 3] - coord_q[:, 1]) / h)[:, None, None]
+    k_bw = ((coord_k[:, 2] - coord_k[:, 0]) / w)[:, None, None]
+    k_bh = ((coord_k[:, 3] - coord_k[:, 1]) / h)[:, None, None]
+    q_diag = jnp.sqrt((q_bw * (w_orig - 1)) ** 2 + (q_bh * (h_orig - 1)) ** 2)
+    k_diag = jnp.sqrt((k_bw * (w_orig - 1)) ** 2 + (k_bh * (h_orig - 1)) ** 2)
+    inv_diag = (1.0 / jnp.maximum(q_diag, k_diag)).reshape(b)
+
+    pts_mask = None
+    if flow is not None:
+        q_x, q_y, m = warp_points_with_flow(
+            flow, q_x, q_y, (coord_q[:, 9], coord_q[:, 8]), flow_mask)
+        if m is not None:
+            pts_mask = m.reshape(b, n)
+
+    sums = fused_pair_sums(
+        q.reshape(b, n, c), k.reshape(b, n, c),
+        q_x.reshape(b, n), q_y.reshape(b, n),
+        k_x.reshape(b, n), k_y.reshape(b, n),
+        inv_diag, pts_mask, float(pos_ratio), interpret)
+
+    pos_sum = jax.lax.stop_gradient(sums[:, 1])
+    per_sample = sums[:, 0] / (pos_sum + 1e-6)
+    loss = -2.0 * jnp.mean(per_sample)
+    pos_mean = pos_sum / (n * n)
+    return loss, (pos_sum, pos_mean)
