@@ -89,6 +89,9 @@ class PixPro(nn.Module):
     # views jointly instead of per-view — a deliberate deviation from the
     # reference's sequential two-call BN; off by default.
     fuse_views: bool = False
+    # use the fused Pallas pair-similarity kernel (TPU only; exact value and
+    # gradient parity with the XLA composition is test-asserted)
+    use_fused_pair_loss: bool = False
 
     def setup(self):
         common = dict(dtype=self.dtype, axis_name=self.axis_name,
@@ -263,10 +266,14 @@ class PixPro(nn.Module):
         proj_1_ng = jax.lax.stop_gradient(proj_1_ng)
         proj_2_ng = jax.lax.stop_gradient(proj_2_ng)
 
-        loss_1, (pos_num_1, pos_mean_1) = pixpro_pair_loss(
+        if self.use_fused_pair_loss:
+            from ..ops.pallas.pair_loss import pixpro_pair_loss_fused as pair_loss
+        else:
+            pair_loss = pixpro_pair_loss
+        loss_1, (pos_num_1, pos_mean_1) = pair_loss(
             pred_1, proj_2_ng, coord1, coord2, self.pixpro_pos_ratio,
             flow=flow_fwd, flow_mask=mask_fwd)
-        loss_2, (pos_num_2, pos_mean_2) = pixpro_pair_loss(
+        loss_2, (pos_num_2, pos_mean_2) = pair_loss(
             pred_2, proj_1_ng, coord2, coord1, self.pixpro_pos_ratio,
             flow=flow_bwd, flow_mask=mask_bwd)
         loss = loss_1 + loss_2
