@@ -24,7 +24,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
-from flax.core import freeze, unfreeze
+from flax.core import unfreeze
 
 from ..ops.loss import l2_normalize, pixpro_pair_loss, ppm_attention, instance_loss
 from .heads import MLP2d

@@ -22,7 +22,6 @@ Head types (reference `contrast/resnet.py:139-154,199-236`):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp

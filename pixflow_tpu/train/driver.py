@@ -8,7 +8,6 @@ per-step metric logging."""
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from typing import Optional
