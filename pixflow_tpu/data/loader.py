@@ -78,17 +78,32 @@ class ShardedLoader:
         # thread-pool prefetch pipeline
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        error: list = []
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(self.num_threads) as pool:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        break
-                    chunk = indices[b * bs:(b + 1) * bs]
-                    samples = list(pool.map(fetch, chunk))
-                    out_q.put(_collate(samples))
-            out_q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        chunk = indices[b * bs:(b + 1) * bs]
+                        samples = list(pool.map(fetch, chunk))
+                        if not _put(_collate(samples)):
+                            return
+            except BaseException as e:  # propagate worker failures
+                error.append(e)
+            finally:
+                _put(None) or out_q.queue.append(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -98,6 +113,8 @@ class ShardedLoader:
                 if batch is None:
                     break
                 yield batch
+            if error:
+                raise error[0]
         finally:
             stop.set()
 

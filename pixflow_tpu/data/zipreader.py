@@ -5,10 +5,13 @@ and per-process handle caching (capability of reference
 from __future__ import annotations
 
 import os
+import threading
 import zipfile
 
 _SEP = "@"
 _handles: dict = {}
+_locks: dict = {}
+_registry_lock = threading.Lock()
 
 
 def is_zip_path(path: str) -> bool:
@@ -22,19 +25,27 @@ def split_zip_path(path: str):
     return archive, inner.lstrip("/")
 
 
-def _handle(archive: str) -> zipfile.ZipFile:
+def _handle(archive: str):
+    """Cached (ZipFile, lock) per archive+pid. ZipFile reads seek a shared
+    file object, so concurrent loader threads must serialize on the lock."""
     key = (archive, os.getpid())
-    zf = _handles.get(key)
-    if zf is None:
-        zf = zipfile.ZipFile(archive, "r")
-        _handles[key] = zf
-    return zf
+    with _registry_lock:
+        zf = _handles.get(key)
+        if zf is None:
+            zf = zipfile.ZipFile(archive, "r")
+            _handles[key] = zf
+            _locks[key] = threading.Lock()
+        return zf, _locks[key]
 
 
 def read_bytes(path: str) -> bytes:
     archive, inner = split_zip_path(path)
-    return _handle(archive).read(inner)
+    zf, lock = _handle(archive)
+    with lock:
+        return zf.read(inner)
 
 
 def list_members(archive: str, suffix: str = ""):
-    return [n for n in _handle(archive).namelist() if n.endswith(suffix)]
+    zf, lock = _handle(archive)
+    with lock:
+        return [n for n in zf.namelist() if n.endswith(suffix)]

@@ -57,13 +57,18 @@ def build_optimizer(cfg: PretrainConfig, lr_schedule, params):
 
 
 def _make_raft_fn(cfg: PretrainConfig):
-    """Build the in-step RAFT flow closure for the on-the-fly path."""
+    """Build the in-step RAFT flow closure for the on-the-fly path. With
+    --flow_up, RAFT's own full-resolution output is used (convex upsampling
+    for the basic model, matching reference `calc_optical_flow(up=True)`,
+    `util.py:83-91`), so the composition must not upsample again."""
     from ..models.raft import load_raft, raft_batch_flows
     raft, variables = load_raft(cfg.flow.flow_model, small=cfg.flow.small)
 
     def raft_fn(frames):  # [B, n, H, W, 3] uint8
         return raft_batch_flows(raft, variables, frames,
-                                iters=cfg.flow.raft_iters)
+                                iters=cfg.flow.raft_iters,
+                                up=cfg.flow.flow_up,
+                                micro_batch=cfg.flow.flow_bs)
     return raft_fn
 
 
@@ -159,7 +164,9 @@ def train(cfg: PretrainConfig):
         ema_total_steps=ema_total,
         ema_base_momentum=cfg.model.pixpro_momentum,
         mesh=mesh, use_flow=use_flow,
-        flow_up=cfg.flow.flow_up, flow_cat_norm=cfg.flow.flow_cat_norm,
+        # live RAFT already emits full-res flows under --flow_up
+        flow_up=cfg.flow.flow_up and raft_fn is None,
+        flow_cat_norm=cfg.flow.flow_cat_norm,
         use_flow_frames=cfg.flow.use_flow_frames and use_flow
         and cfg.data.n_frames > 2,
         alpha1=cfg.flow.alpha1, alpha2=cfg.flow.alpha2,

@@ -173,6 +173,24 @@ def test_sharded_loader_partition_and_determinism(synth_root):
     assert a != c or N_VIDEOS <= 2
 
 
+def test_loader_propagates_worker_errors(synth_root):
+    """A failing sample fetch must raise in the consumer, not hang."""
+    t = get_transform("NULL", 0.2, image_size=32)
+    videos = list_image_folder(os.path.join(synth_root, "train"), "bdd100k")
+    ds = VideoFrameDataset(samples=videos, transform=t, n_frames=1,
+                           two_crop=True,
+                           flow_fwd_root="/nonexistent/fwd",
+                           flow_bwd_root="/nonexistent/bwd")
+    ds2 = VideoFrameDataset(samples=videos, transform=t, n_frames=3,
+                            two_crop=True,
+                            flow_fwd_root="/nonexistent/fwd",
+                            flow_bwd_root="/nonexistent/bwd")
+    loader = ShardedLoader(ds2, 4, num_threads=2, prefetch=1)
+    with pytest.raises(FileNotFoundError):
+        for _ in loader.epoch(0):
+            pass
+
+
 def test_frame_stats_definition():
     mean_f, no_flow, per = frame_stats(np.array([1, 6, 6, 6]), 6)
     assert mean_f == pytest.approx(4.75)
