@@ -1,0 +1,103 @@
+"""Full-model forward parity: the reference PixPro (torch CPU, identical
+weights imported through our converter) vs our Flax PixPro on the same batch
+must produce the same loss. This transitively pins the ResNet conv/BN
+numerics, MLP2d heads, value transform, PPM attention, normalizations, the
+coordinate/loss geometry, and the checkpoint importer."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_env():
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+        tv.transforms = tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    if not torch.distributed.is_initialized():
+        torch.distributed.init_process_group(
+            "gloo", init_method="tcp://127.0.0.1:29571", rank=0, world_size=1)
+    import importlib
+    return importlib.import_module("contrast.models.PixPro")
+
+
+def _desync_batchnorm(module):
+    """Replace SyncBatchNorm with plain BatchNorm2d (same params/stats) so
+    the reference model can run its forward on CPU. With world size 1 the
+    statistics are identical."""
+    for name, child in module.named_children():
+        if isinstance(child, torch.nn.SyncBatchNorm):
+            bn = torch.nn.BatchNorm2d(child.num_features, child.eps,
+                                      child.momentum, child.affine,
+                                      child.track_running_stats)
+            bn.load_state_dict(child.state_dict())
+            setattr(module, name, bn)
+        else:
+            _desync_batchnorm(child)
+
+
+@pytest.mark.slow
+def test_full_forward_loss_parity(ref_env):
+    ref_pixpro_mod = ref_env
+    from pixflow_tpu.models import PixPro
+    from pixflow_tpu.models.convert_pixpro import torch_pixpro_to_flax
+    import contrast.resnet as ref_resnet
+
+    args = types.SimpleNamespace(
+        pixpro_p=2.0, pixpro_momentum=0.99, pixpro_pos_ratio=0.7,
+        pixpro_clamp_value=0.0, pixpro_transform_layer=1,
+        pixpro_ins_loss_weight=0.0, num_instances=1024, batch_size=8,
+        epochs=10, start_epoch=1, output_dir="/tmp/refout",
+        feature_dim=256, head_type="early_return")
+    torch.manual_seed(0)
+    ref_model = ref_pixpro_mod.PixPro(ref_resnet.resnet50, args)
+    _desync_batchnorm(ref_model)
+    ref_model.train()
+
+    # identical weights through our importer ('module.'-prefixed like DDP)
+    sd = {"module." + k: v for k, v in ref_model.state_dict().items()}
+    variables = torch_pixpro_to_flax(sd)
+
+    rng = np.random.default_rng(7)
+    b, hw = 2, 64
+    im1 = rng.standard_normal((b, 3, hw, hw)).astype(np.float32)
+    im2 = rng.standard_normal((b, 3, hw, hw)).astype(np.float32)
+    coords = np.zeros((b, 10), np.float32)
+    coords[0] = [0.10, 0.15, 0.45, 0.55, 128, 108, 462, 296, 1280, 720]
+    coords[1] = [0.30, 0.20, 0.70, 0.60, 384, 144, 525, 296, 1280, 720]
+    coords2 = np.zeros((b, 10), np.float32)
+    coords2[0] = [0.20, 0.10, 0.55, 0.50, 256, 72, 462, 296, 1280, 720]
+    coords2[1] = [0.25, 0.30, 0.65, 0.70, 320, 216, 525, 296, 1280, 720]
+
+    with torch.no_grad():
+        ref_loss, _ = ref_model(
+            torch.from_numpy(im1), torch.from_numpy(im2),
+            torch.from_numpy(coords), torch.from_numpy(coords2),
+            is_update_momentum=False)
+
+    model = PixPro(arch="resnet50", pixpro_p=2.0, pixpro_transform_layer=1,
+                   pixpro_pos_ratio=0.7)
+    (loss, _), _ = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(im1.transpose(0, 2, 3, 1)),
+        jnp.asarray(im2.transpose(0, 2, 3, 1)),
+        jnp.asarray(coords), jnp.asarray(coords2),
+        train=True, mutable=["batch_stats"])
+
+    np.testing.assert_allclose(float(loss), float(ref_loss),
+                               rtol=5e-4, atol=5e-5)
