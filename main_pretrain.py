@@ -84,6 +84,10 @@ def parse_args() -> PretrainConfig:
     p.add_argument("--pixpro-clamp-value", type=float, default=0.0)
     p.add_argument("--pixpro-transform-layer", type=int, default=0)
     p.add_argument("--pixpro-ins-loss-weight", type=float, default=0.0)
+    # accepted for flag-surface parity; the reference declares these but
+    # never consumes them (contrast/option.py:101-102)
+    p.add_argument("--pixpro-neg-ratio", type=float, default=1.0)
+    p.add_argument("--pixpro-neg-loss-weight", type=float, default=1.0)
 
     # misc
     p.add_argument("--output-dir", type=str, default="./output")

@@ -84,6 +84,18 @@ def linear_eval(cfg: LinearConfig, pretrained_path: str):
     logger.info("loaded pretrained encoder from %s (epoch %s)",
                 pretrained_path, pub.get("epoch"))
 
+    # resume the probe itself (reference main_linear.py:78-107)
+    start_epoch, best_acc1 = cfg.optim.start_epoch, 0.0
+    resume_path = cfg.runtime.resume
+    if cfg.runtime.auto_resume and not resume_path:
+        resume_path = latest_checkpoint(cfg.runtime.output_dir) or ""
+    if resume_path:
+        state, ckpt_epoch, extra = load_checkpoint(resume_path, state)
+        start_epoch = ckpt_epoch + 1
+        best_acc1 = float(extra.get("best_acc1", 0.0))
+        logger.info("resumed linear probe from %s (epoch %d, best %.2f)",
+                    resume_path, ckpt_epoch, best_acc1)
+
     def collate(batch):
         return {"image": batch["im1"], "label": batch["target"]}
 
@@ -98,8 +110,7 @@ def linear_eval(cfg: LinearConfig, pretrained_path: str):
         logger.info("eval: %s", res)
         return res
 
-    best_acc1 = 0.0
-    for epoch in range(cfg.optim.start_epoch, cfg.optim.epochs + 1):
+    for epoch in range(start_epoch, cfg.optim.epochs + 1):
         meter = AverageMeter()
         for idx, batch in enumerate(train_loader.epoch(epoch)):
             state, m = train_step(state, to_device(collate(batch)))
