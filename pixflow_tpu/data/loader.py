@@ -103,7 +103,11 @@ class ShardedLoader:
             except BaseException as e:  # propagate worker failures
                 error.append(e)
             finally:
-                _put(None) or out_q.queue.append(None)
+                if not _put(None):
+                    try:  # consumer already gone; sentinel is best-effort
+                        out_q.put_nowait(None)
+                    except queue.Full:
+                        pass
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

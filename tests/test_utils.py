@@ -98,6 +98,25 @@ def test_warp_image_identity():
     np.testing.assert_array_equal(out, frame)
 
 
+def test_save_debug_bundle(tmp_path):
+    from pixflow_tpu.utils.visualize import save_debug_bundle
+    rng = np.random.default_rng(3)
+    batch = {
+        "im1": rng.standard_normal((2, 32, 32, 3)).astype(np.float32),
+        "coord1": np.tile(np.array([0.1, 0.1, 0.4, 0.4, 12, 7, 50, 40,
+                                    128, 72], np.float32), (2, 1)),
+        "frames": rng.integers(0, 255, (2, 3, 72, 128, 3)).astype(np.uint8),
+    }
+    flow = rng.standard_normal((2, 9, 16, 2)).astype(np.float32)
+    mask = rng.random((2, 9, 16)) > 0.5
+    save_debug_bundle(str(tmp_path), step=7, batch=batch,
+                      flow_fwd=flow, mask_fwd=mask)
+    files = sorted(os.listdir(tmp_path))
+    assert "step7_s0_crop.png" in files
+    assert "step7_s0_flow.png" in files
+    assert "step7_s1_mask.png" in files
+
+
 def test_flo_roundtrip(tmp_path):
     flow = RNG.standard_normal((6, 8, 2)).astype(np.float32)
     p = str(tmp_path / "a.flo")
