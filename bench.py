@@ -2,9 +2,13 @@
 """Headline benchmark: pretrain images/sec/chip for the nframe=6 flow recipe
 (ResNet-50 PixPro, 224px, 5 precomputed 1/8-res RAFT flows per sample,
 in-step long-range composition + cycle masks + LARS — the
-`tools/pretrain_bdd100k_job_2000ep_nframe6_gpu16.sh` configuration, with the
-TPU-native 1/8-res flow composition; set BENCH_FLOW_UP=1 for the reference's
-full-res upflow8-then-compose parity mode).
+`tools/pretrain_bdd100k_job_2000ep_nframe6_gpu16.sh` configuration).
+
+Default mode is the reference's FLOW_UP=y full-resolution composition,
+evaluated lazily at the loss's bin centers (ops/flow_points.py — exact same
+numbers as materializing the 720x1280 fields, test-pinned). Toggles:
+BENCH_FLOW_UP=0 composes at the stored 1/8 resolution instead;
+BENCH_FLOW_LAZY=0 materializes the full-res fields (the slow gather path).
 
 Measured as N train steps inside one jitted lax.scan (device-side timing:
 the axon tunnel's per-dispatch overhead and lazy execution make per-call
@@ -42,7 +46,7 @@ def main():
     mesh = make_data_mesh(n_dev) if n_dev > 1 else None
 
     per_chip_batch = int(os.environ.get("BENCH_BATCH", "32"))
-    flow_up = os.environ.get("BENCH_FLOW_UP", "0") == "1"
+    flow_up = os.environ.get("BENCH_FLOW_UP", "1") == "1"
     fuse_views = os.environ.get("BENCH_FUSE", "0") == "1"
     n_scan = int(os.environ.get("BENCH_SCAN_STEPS", "10"))
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
@@ -81,12 +85,30 @@ def main():
                   frozen_mask=frozen_momentum_branch_mask(state.params))
     state = state.replace(opt_state=tx.init(state.params))
 
+    flow_lazy = os.environ.get("BENCH_FLOW_LAZY", "1") == "1"
+
     def body(st, bt):
         m = momentum_schedule(st.ema_k, 2000 * 68, 0.99)
         params = ema_update(st.params, m)
-        ff, fb, mf, mb = compose_and_mask(
-            bt["flows_fwd"], bt["flows_bwd"], flow_up=flow_up,
-            use_flow_frames=False, alpha_1=0.01, alpha_2=0.5)
+        telemetry = 0.0
+        if flow_up and flow_lazy:
+            # the TPU-native flow_up path the train step uses: lazy
+            # point-domain composition + strided mask-ratio telemetry
+            # (kept inside the timed program, like production)
+            from pixflow_tpu.ops.flow_points import (LazyFlowUp,
+                                                     mask_ratio_estimate)
+            fwd = jnp.transpose(bt["flows_fwd"], (1, 0, 2, 3, 4))
+            bwd = jnp.transpose(bt["flows_bwd"], (1, 0, 2, 3, 4))
+            ff = LazyFlowUp(flows=fwd, flows_rev=bwd, alpha1=0.01, alpha2=0.5)
+            fb = LazyFlowUp(flows=bwd, flows_rev=fwd, alpha1=0.01, alpha2=0.5)
+            mf = mb = None
+            telemetry = 0.0 * (
+                jnp.mean(mask_ratio_estimate(fwd, bwd, 0.01, 0.5))
+                + jnp.mean(mask_ratio_estimate(bwd, fwd, 0.01, 0.5)))
+        else:
+            ff, fb, mf, mb = compose_and_mask(
+                bt["flows_fwd"], bt["flows_bwd"], flow_up=flow_up,
+                use_flow_frames=False, alpha_1=0.01, alpha_2=0.5)
 
         def loss_fn(p):
             (loss, _), mut = model.apply(
@@ -100,7 +122,7 @@ def main():
         new_params = optax.apply_updates(params, updates)
         return st.replace(step=st.step + 1, ema_k=st.ema_k + 1,
                           params=new_params, batch_stats=new_bs,
-                          opt_state=new_opt), loss
+                          opt_state=new_opt), loss + telemetry
 
     scan_kwargs = {}
     if mesh is not None:

@@ -43,7 +43,16 @@ def parse_args() -> PretrainConfig:
     # flow / RAFT
     p.add_argument("--use_flow", action="store_true")
     p.add_argument("--flow_model", type=str, default="")
-    p.add_argument("--flow_up", action="store_true")
+    p.add_argument("--flow_up", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="compose flows at full resolution (upflow8 parity "
+                        "mode; --no-flow_up forces 1/8-res composition "
+                        "even when the recipe enables it)")
+    p.add_argument("--flow_up_lazy", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="evaluate the full-res composition lazily at loss "
+                        "points (exact + fast, default); --no-flow_up_lazy "
+                        "materializes the 720x1280 fields")
     p.add_argument("--alpha1", type=float, default=None)
     p.add_argument("--alpha2", type=float, default=None)
     p.add_argument("--flow_cat_norm", action="store_true")
@@ -157,10 +166,15 @@ def parse_args() -> PretrainConfig:
         d.image_size = a.image_size[0]
     if not a.recipe or given("zip"):
         d.zip_mode = a.zip
-    for flag in ("use_flow", "use_flow_file", "flow_up", "flow_cat_norm",
+    for flag in ("use_flow", "use_flow_file", "flow_cat_norm",
                  "use_flow_frames"):
         if not a.recipe or given(flag):
             setattr(f, flag, getattr(a, flag))
+    # tri-state booleans: None = keep recipe/dataclass default
+    if a.flow_up is not None:
+        f.flow_up = a.flow_up
+    if a.flow_up_lazy is not None:
+        f.flow_up_lazy = a.flow_up_lazy
 
     # infer RAFT-small from the checkpoint name, like reference option.py:109-113
     if f.flow_model and "small" in os.path.basename(f.flow_model):

@@ -44,6 +44,8 @@ class FlowConfig:
     flow_model: str = ""               # RAFT checkpoint (on-the-fly path)
     small: bool = False                # RAFT-small (inferred from ckpt name)
     flow_up: bool = False              # upflow8 before composing
+    flow_up_lazy: bool = True          # point-domain flow_up (exact, fast);
+                                       # False materializes full-res fields
     flow_cat_norm: bool = False        # compose in normalized units
     use_flow_frames: bool = False      # all (span,start) compositions
     alpha1: Optional[float] = None     # cycle-consistency coefficients

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .flow_points import LazyFlowUp, flow_up_warp_points
 from .resample import grid_sample, grid_sample_nearest
 
 _NORM_EPS = 1e-12  # torch F.normalize default
@@ -74,7 +75,15 @@ def warp_points_with_flow(
     the original image, flow values are rescaled by the resolution ratio
     exactly as reference `add_optical_flow` (`PixPro.py:46-89`):
     out = x + fx / (Wf / W_orig).
+
+    `flow` may also be a `LazyFlowUp`: the full-res flow_up composition +
+    cycle mask evaluated lazily at exactly these points (same math, no
+    materialized 720x1280 fields — ops/flow_points.py); `mask` must then be
+    None (the lazy object computes its own).
     """
+    if isinstance(flow, LazyFlowUp):
+        assert mask is None, "LazyFlowUp computes its own cycle mask"
+        return flow_up_warp_points(flow, x, y, orig_hw)
     b, hf, wf, _ = flow.shape
     h_orig, w_orig = orig_hw
     h_orig = h_orig.reshape(b, 1, 1)

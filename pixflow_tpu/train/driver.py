@@ -166,6 +166,7 @@ def train(cfg: PretrainConfig):
         mesh=mesh, use_flow=use_flow,
         # live RAFT already emits full-res flows under --flow_up
         flow_up=cfg.flow.flow_up and raft_fn is None,
+        flow_up_lazy=cfg.flow.flow_up_lazy,
         flow_cat_norm=cfg.flow.flow_cat_norm,
         use_flow_frames=cfg.flow.use_flow_frames and use_flow
         and cfg.data.n_frames > 2,

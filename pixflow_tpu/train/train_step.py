@@ -31,7 +31,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
 from ..models.pixpro import ema_update, momentum_schedule
-from ..ops.flow import compose_and_mask, mask_ratio
+from ..ops.flow import compose_and_mask, mask_ratio, span_windows
+from ..ops.flow_points import LazyFlowUp, mask_ratio_estimate
 from ..parallel.mesh import DATA_AXIS
 
 _MEAN = jnp.asarray(IMAGENET_MEAN)
@@ -60,10 +61,12 @@ def make_train_step(
     mesh=None,
     use_flow: bool = False,
     flow_up: bool = False,
+    flow_up_lazy: bool = True,
     flow_cat_norm: bool = False,
     use_flow_frames: bool = False,
     alpha1: Optional[float] = None,
     alpha2: Optional[float] = None,
+    mask_ratio_stride: int = 32,
     raft_fn=None,
     donate: bool = True,
 ):
@@ -90,16 +93,51 @@ def make_train_step(
         params = ema_update(state.params, m)
 
         flow_fwd = flow_bwd = mask_fwd = mask_bwd = None
+        lazy_mask_metrics = None
         if use_flow:
             if raft_fn is not None:
                 flows_fwd, flows_bwd = raft_fn(batch["frames"])
             else:
                 flows_fwd = _prep_flows(batch["flows_fwd"])
                 flows_bwd = _prep_flows(batch["flows_bwd"])
-            flow_fwd, flow_bwd, mask_fwd, mask_bwd = compose_and_mask(
-                flows_fwd, flows_bwd, flow_up=flow_up,
-                use_flow_frames=use_flow_frames, alpha_1=alpha1,
-                alpha_2=alpha2, is_norm=flow_cat_norm)
+            if flow_up and flow_up_lazy:
+                # TPU-native flow_up: never materialize 720x1280 fields —
+                # the loss evaluates the composed flow + cycle mask lazily
+                # at the bin centers it reads (ops/flow_points.py; exact
+                # parity with the materializing path is test-asserted).
+                fwd = jnp.transpose(flows_fwd, (1, 0, 2, 3, 4))  # [K,B,h,w,2]
+                bwd = jnp.transpose(flows_bwd, (1, 0, 2, 3, 4))
+                kk = fwd.shape[0]
+
+                def lazy(f, r):
+                    return LazyFlowUp(
+                        flows=f, flows_rev=r if alpha1 is not None else None,
+                        alpha1=alpha1, alpha2=alpha2, is_norm=flow_cat_norm)
+
+                if use_flow_frames:
+                    flow_fwd, flow_bwd = [], []
+                    for span, s in span_windows(kk):
+                        fw, bw = fwd[s:s + span], bwd[kk - s - span:kk - s]
+                        flow_fwd.append(lazy(fw, bw))
+                        flow_bwd.append(lazy(bw, fw))
+                else:
+                    flow_fwd, flow_bwd = lazy(fwd, bwd), lazy(bwd, fwd)
+                if alpha1 is not None and alpha2 is not None:
+                    # telemetry on the full-span window: exact mask values
+                    # on a strided fine grid (the reference averages all
+                    # 720x1280 pixels; this is the same statistic sampled)
+                    lazy_mask_metrics = (
+                        jnp.mean(mask_ratio_estimate(
+                            fwd, bwd, alpha1, alpha2, flow_cat_norm,
+                            stride=mask_ratio_stride)),
+                        jnp.mean(mask_ratio_estimate(
+                            bwd, fwd, alpha1, alpha2, flow_cat_norm,
+                            stride=mask_ratio_stride)))
+            else:
+                flow_fwd, flow_bwd, mask_fwd, mask_bwd = compose_and_mask(
+                    flows_fwd, flows_bwd, flow_up=flow_up,
+                    use_flow_frames=use_flow_frames, alpha_1=alpha1,
+                    alpha_2=alpha2, is_norm=flow_cat_norm)
 
         def loss_fn(p):
             variables = {"params": p, "batch_stats": state.batch_stats}
@@ -141,6 +179,9 @@ def make_train_step(
         if mask_fwd is not None:
             metrics["mask_ratio_fwd"] = jnp.mean(mask_ratio(mask_fwd))
             metrics["mask_ratio_bwd"] = jnp.mean(mask_ratio(mask_bwd))
+        elif lazy_mask_metrics is not None:
+            metrics["mask_ratio_fwd"] = lazy_mask_metrics[0]
+            metrics["mask_ratio_bwd"] = lazy_mask_metrics[1]
 
         new_state = state.replace(
             step=state.step + 1,

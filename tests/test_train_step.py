@@ -127,3 +127,40 @@ def test_syncbn_stats_are_cross_replica(mesh):
     m1 = np.asarray(state.batch_stats["encoder"]["bn1"]["mean"])
     m2 = np.asarray(state2.batch_stats["encoder"]["bn1"]["mean"])
     np.testing.assert_allclose(m1, m2, rtol=1e-4, atol=1e-5)
+
+
+def test_flow_up_lazy_matches_materialized_step(mesh):
+    """The lazy point-domain flow_up path and the materializing full-res
+    path must produce the same compiled-step loss/pos_num (they are the
+    same math; parity of the underlying ops is pinned in
+    tests/test_flow_points.py)."""
+    kw = dict(arch="resnet18", pixpro_p=2.0, pixpro_transform_layer=1,
+              pixpro_pos_ratio=0.7, proj_inner_dim=64, proj_out_dim=32)
+    batch = _batch(True)
+    lr = warmup_cosine(0.1, epochs=10, warmup_epoch=1, steps_per_epoch=5)
+
+    results = {}
+    for lazy in (False, True):
+        model = PixPro(**kw)
+        tx0 = lars_sgd(lr, weight_decay=1e-5)
+        state = create_train_state(jax.random.PRNGKey(0), model, tx0,
+                                   {"im1": batch["im1"][:1]})
+        tx = lars_sgd(lr, weight_decay=1e-5,
+                      frozen_mask=frozen_momentum_branch_mask(state.params))
+        state = state.replace(opt_state=tx.init(state.params))
+        step = make_train_step(
+            model, tx, lr_schedule=lr, ema_total_steps=50,
+            ema_base_momentum=0.99, mesh=mesh, use_flow=True, flow_up=True,
+            flow_up_lazy=lazy, alpha1=0.01, alpha2=0.5, donate=False)
+        _, metrics = step(state, batch)
+        results[lazy] = metrics
+
+    np.testing.assert_allclose(float(results[True]["loss"]),
+                               float(results[False]["loss"]),
+                               rtol=1e-4, atol=1e-5)
+    assert (float(results[True]["pos_num"])
+            == float(results[False]["pos_num"]))
+    # mask telemetry: strided estimate vs full-field mean
+    np.testing.assert_allclose(float(results[True]["mask_ratio_fwd"]),
+                               float(results[False]["mask_ratio_fwd"]),
+                               atol=0.05)
