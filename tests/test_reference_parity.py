@@ -216,3 +216,49 @@ def test_lars_matches_reference(oracle):
     for k in jp:
         np.testing.assert_allclose(np.asarray(jp[k]), want[k],
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("small", [True, False])
+def test_raft_numerical_parity(oracle, small):
+    """Full RAFT network vs the reference's torch implementation
+    (`contrast/flow/raft.py:100-160`): random-init torch weights exported
+    through models/raft/convert.py, identical frame pairs, full GRU loop,
+    test_mode (flow_low, flow_up) outputs."""
+    import argparse
+
+    from contrast.flow import RAFT as RefRAFT
+
+    from pixflow_tpu.models.raft import RAFT
+    from pixflow_tpu.models.raft.convert import torch_state_dict_to_flax
+
+    torch.manual_seed(3 if small else 4)
+    args = argparse.Namespace(small=small, dropout=0.0, alternate_corr=False,
+                              mixed_precision=False)
+    ref = RefRAFT(args)
+    ref.eval()
+
+    variables = torch_state_dict_to_flax(ref.state_dict(), small=small)
+    model = RAFT(small=small)
+
+    r = np.random.default_rng(7)
+    # H, W >= 128: below that the 4-level corr pyramid bottoms out at a 1x1
+    # map and the reference's bilinear_sampler divides by (W-1)=0 -> NaN
+    h, w, iters = 128, 160, 8
+    im1 = r.integers(0, 255, (1, h, w, 3)).astype(np.float32)
+    im2 = np.clip(im1 + 8.0 * r.standard_normal((1, h, w, 3)), 0, 255
+                  ).astype(np.float32)
+
+    with torch.no_grad():
+        low_t, up_t = ref(torch.from_numpy(im1.transpose(0, 3, 1, 2)),
+                          torch.from_numpy(im2.transpose(0, 3, 1, 2)),
+                          iters=iters, test_mode=True)
+    low_ref = low_t.numpy().transpose(0, 2, 3, 1)
+    up_ref = up_t.numpy().transpose(0, 2, 3, 1)
+
+    low_j, up_j = model.apply(variables, jnp.asarray(im1), jnp.asarray(im2),
+                              iters=iters)
+
+    np.testing.assert_allclose(np.asarray(low_j), low_ref,
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(up_j), up_ref,
+                               rtol=1e-3, atol=1e-3)
