@@ -75,8 +75,8 @@ class RandomResizedCropCoord:
             (j + w - 1) / (width - 1), (i + h - 1) / (height - 1),
             j, i, w, h, width, height,
         ], np.float32)
-        out = img.resize(self.size[::-1] if False else self.size,
-                         self.interpolation, box=(j, i, j + w, i + h))
+        out = img.resize(self.size, self.interpolation,
+                         box=(j, i, j + w, i + h))
         return out, coord
 
 

@@ -207,8 +207,10 @@ class PixPro(nn.Module):
         loss_1 = jnp.zeros((b,), jnp.float32)
         loss_2 = jnp.zeros((b,), jnp.float32)
         weight = jnp.zeros((b,), jnp.float32)
-        pos_num = jnp.zeros((b,), jnp.float32)
-        pos_mean = jnp.zeros((b,), jnp.float32)
+        pos_num_1 = jnp.zeros((b,), jnp.float32)
+        pos_num_2 = jnp.zeros((b,), jnp.float32)
+        pos_mean_1 = jnp.zeros((b,), jnp.float32)
+        pos_mean_2 = jnp.zeros((b,), jnp.float32)
 
         for i, (length, s) in enumerate(spans):
             e = s + length  # target frame index
@@ -226,15 +228,18 @@ class PixPro(nn.Module):
             loss_1 = loss_1 + valid * l1
             loss_2 = loss_2 + valid * l2
             weight = weight + valid
-            pos_num = pos_num + valid * (pn1 + pn2)
-            pos_mean = pos_mean + valid * (pm1 + pm2) / 2.0
+            pos_num_1 = pos_num_1 + valid * pn1
+            pos_num_2 = pos_num_2 + valid * pn2
+            pos_mean_1 = pos_mean_1 + valid * pm1
+            pos_mean_2 = pos_mean_2 + valid * pm2
 
         denom = jnp.maximum(weight, 1.0)
         loss = jnp.mean((loss_1 + loss_2) / denom)
+        # per-direction telemetry averaged over each sample's valid windows
+        # (reference logs pos_num_1/pos_num_2 separately, main_pretrain.py:280)
         stats = {
-            "pos_num_1": pos_num / denom, "pos_mean_1": pos_mean / denom,
-            "pos_num_2": jnp.zeros_like(pos_num),
-            "pos_mean_2": jnp.zeros_like(pos_mean),
+            "pos_num_1": pos_num_1 / denom, "pos_mean_1": pos_mean_1 / denom,
+            "pos_num_2": pos_num_2 / denom, "pos_mean_2": pos_mean_2 / denom,
         }
         return loss, stats
 

@@ -74,7 +74,13 @@ def init_wandb(cfg):
         import wandb
     except ImportError:
         return None
-    return wandb.init(project=cfg.runtime.wandb_project,
-                      entity=cfg.runtime.wandb_entity or None,
-                      name=wandb_run_name(cfg),
-                      config=__import__("json").loads(cfg.to_json()))
+    run = wandb.init(project=cfg.runtime.wandb_project,
+                     entity=cfg.runtime.wandb_entity or None,
+                     name=wandb_run_name(cfg),
+                     config=__import__("json").loads(cfg.to_json()))
+    # upload the dumped config file with the run, like the reference
+    # (`main_pretrain.py:388` wandb.save(config.json))
+    cfg_path = os.path.join(cfg.runtime.output_dir, "config.json")
+    if os.path.exists(cfg_path):
+        wandb.save(cfg_path, base_path=cfg.runtime.output_dir)
+    return run
