@@ -116,3 +116,48 @@ def test_d2_export_layout(tmp_path):
     k = np.asarray(variables["params"]["conv1"]["kernel"])  # HWIO
     np.testing.assert_array_equal(weights["stem.conv1.weight"],
                                   k.transpose(3, 2, 0, 1))
+
+
+def test_d2_config_set_complete():
+    """All 8 reference detectron2 configs exist with a consistent
+    inheritance chain and the SSL-protocol settings (reference
+    transfer/detection/configs/*.yaml)."""
+    import os
+    import re
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..",
+                           "transfer", "detection", "configs")
+    names = ["Base-RCNN-C4-BN.yaml", "Base-RCNN-FPN.yaml",
+             "COCO_R_50_C4_1x.yaml", "COCO_R_50_C4_1x_PixPro.yaml",
+             "COCO_R_50_FPN_1x.yaml", "COCO_R_50_FPN_1x_PixPro.yaml",
+             "Pascal_VOC_R_50_C4_24k.yaml",
+             "Pascal_VOC_R_50_C4_24k_PixPro.yaml"]
+    text = {}
+    for n in names:
+        p = os.path.join(cfg_dir, n)
+        assert os.path.exists(p), f"missing d2 config {n}"
+        text[n] = open(p).read()
+
+    # inheritance chain matches the reference's
+    assert '_BASE_: "Base-RCNN-C4-BN.yaml"' in text["COCO_R_50_C4_1x.yaml"]
+    assert '_BASE_: "COCO_R_50_C4_1x.yaml"' in text["COCO_R_50_C4_1x_PixPro.yaml"]
+    assert '_BASE_: "Base-RCNN-FPN.yaml"' in text["COCO_R_50_FPN_1x.yaml"]
+    assert '_BASE_: "COCO_R_50_FPN_1x.yaml"' in text["COCO_R_50_FPN_1x_PixPro.yaml"]
+    assert '_BASE_: "Base-RCNN-C4-BN.yaml"' in text["Pascal_VOC_R_50_C4_24k.yaml"]
+    assert ('_BASE_: "Pascal_VOC_R_50_C4_24k.yaml"'
+            in text["Pascal_VOC_R_50_C4_24k_PixPro.yaml"])
+
+    # SSL protocol pins: no freezing, SyncBN, precise BN in the bases;
+    # RGB stats + torch-style stride in every PixPro variant
+    assert "FREEZE_AT: 0" in text["Base-RCNN-C4-BN.yaml"]
+    assert 'NORM: "SyncBN"' in text["Base-RCNN-C4-BN.yaml"]
+    assert "PRECISE_BN" in text["Base-RCNN-C4-BN.yaml"]
+    assert "FREEZE_AT: 0" in text["COCO_R_50_FPN_1x.yaml"]
+    for n in names:
+        if n.endswith("_PixPro.yaml"):
+            assert "STRIDE_IN_1X1: False" in text[n], n
+            assert "PIXEL_MEAN: [123.675, 116.280, 103.530]" in text[n], n
+            assert 'FORMAT: "RGB"' in text[n], n
+    # VOC is detection-only with 20 classes
+    assert "MASK_ON: False" in text["Pascal_VOC_R_50_C4_24k.yaml"]
+    assert "NUM_CLASSES: 20" in text["Pascal_VOC_R_50_C4_24k.yaml"]
