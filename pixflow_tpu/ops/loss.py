@@ -106,6 +106,67 @@ def warp_points_with_flow(
     return out_x, out_y, mask_pts
 
 
+def pair_loss_geometry(
+    coord_q: jnp.ndarray,
+    coord_k: jnp.ndarray,
+    feat_hw: tuple[int, int],
+    pos_ratio: float = 0.5,
+    flow: jnp.ndarray | None = None,
+    flow_mask: jnp.ndarray | None = None,
+):
+    """Positive-pair geometry of `pixpro_pair_loss`, exposed for debugging.
+
+    Returns a dict with the bin centers before the flow warp
+    (`q_x_pre`/`q_y_pre`, each [B, H, W]), after it (`q_x`/`q_y`), the
+    target-view centers (`k_x`/`k_y`), the sampled flow-validity mask at the
+    warped points (`mask_pts`, [B, H, W] bool or None), and the positive-pair
+    mask `pos` [B, N, N]. This is the same computation the loss performs —
+    the renders it feeds (`utils/visualize.py:save_debug_bundle`) are the
+    TPU counterpart of reference `contrast/debug_utils.py:422-719`
+    (draw_points / draw_point_positive_pair inside regression_loss,
+    `PixPro.py:99-104,419-426`).
+    """
+    h, w = feat_hw
+    b = coord_q.shape[0]
+    n = h * w
+
+    q_x_pre, q_y_pre = bin_centers(coord_q, (h, w))
+    k_x, k_y = bin_centers(coord_k, (h, w))
+
+    w_orig = coord_q[:, 8][:, None, None]
+    h_orig = coord_q[:, 9][:, None, None]
+
+    q_bin_w = ((coord_q[:, 2] - coord_q[:, 0]) / w)[:, None, None]
+    q_bin_h = ((coord_q[:, 3] - coord_q[:, 1]) / h)[:, None, None]
+    k_bin_w = ((coord_k[:, 2] - coord_k[:, 0]) / w)[:, None, None]
+    k_bin_h = ((coord_k[:, 3] - coord_k[:, 1]) / h)[:, None, None]
+
+    q_diag = jnp.sqrt((q_bin_w * (w_orig - 1.0)) ** 2 + (q_bin_h * (h_orig - 1.0)) ** 2)
+    k_diag = jnp.sqrt((k_bin_w * (w_orig - 1.0)) ** 2 + (k_bin_h * (h_orig - 1.0)) ** 2)
+    max_diag = jnp.maximum(q_diag, k_diag)  # [B, 1, 1]
+
+    q_x, q_y, mask_pts = q_x_pre, q_y_pre, None
+    if flow is not None:
+        q_x, q_y, mask_pts = warp_points_with_flow(
+            flow, q_x_pre, q_y_pre,
+            (coord_q[:, 9], coord_q[:, 8]),
+            flow_mask,
+        )
+
+    dx = q_x.reshape(b, n, 1) - k_x.reshape(b, 1, n)
+    dy = q_y.reshape(b, n, 1) - k_y.reshape(b, 1, n)
+    dist = jnp.sqrt(dx * dx + dy * dy) / max_diag
+
+    pos = dist < pos_ratio  # [B, N, N]
+    if mask_pts is not None:
+        pos = pos & mask_pts.reshape(b, n, 1)
+    return {
+        "q_x_pre": q_x_pre, "q_y_pre": q_y_pre,
+        "q_x": q_x, "q_y": q_y, "k_x": k_x, "k_y": k_y,
+        "mask_pts": mask_pts, "pos": pos,
+    }
+
+
 def pixpro_pair_loss(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -133,36 +194,8 @@ def pixpro_pair_loss(
     b, h, w, c = q.shape
     n = h * w
 
-    q_x, q_y = bin_centers(coord_q, (h, w))
-    k_x, k_y = bin_centers(coord_k, (h, w))
-
-    w_orig = coord_q[:, 8][:, None, None]
-    h_orig = coord_q[:, 9][:, None, None]
-
-    q_bin_w = ((coord_q[:, 2] - coord_q[:, 0]) / w)[:, None, None]
-    q_bin_h = ((coord_q[:, 3] - coord_q[:, 1]) / h)[:, None, None]
-    k_bin_w = ((coord_k[:, 2] - coord_k[:, 0]) / w)[:, None, None]
-    k_bin_h = ((coord_k[:, 3] - coord_k[:, 1]) / h)[:, None, None]
-
-    q_diag = jnp.sqrt((q_bin_w * (w_orig - 1.0)) ** 2 + (q_bin_h * (h_orig - 1.0)) ** 2)
-    k_diag = jnp.sqrt((k_bin_w * (w_orig - 1.0)) ** 2 + (k_bin_h * (h_orig - 1.0)) ** 2)
-    max_diag = jnp.maximum(q_diag, k_diag)  # [B, 1, 1]
-
-    mask_pts = None
-    if flow is not None:
-        q_x, q_y, mask_pts = warp_points_with_flow(
-            flow, q_x, q_y,
-            (coord_q[:, 9], coord_q[:, 8]),
-            flow_mask,
-        )
-
-    dx = q_x.reshape(b, n, 1) - k_x.reshape(b, 1, n)
-    dy = q_y.reshape(b, n, 1) - k_y.reshape(b, 1, n)
-    dist = jnp.sqrt(dx * dx + dy * dy) / max_diag
-
-    pos = dist < pos_ratio  # [B, N, N]
-    if mask_pts is not None:
-        pos = pos & mask_pts.reshape(b, n, 1)
+    pos = pair_loss_geometry(coord_q, coord_k, (h, w), pos_ratio,
+                             flow, flow_mask)["pos"]
     pos_f = pos.astype(jnp.float32)
 
     logit = jnp.einsum(

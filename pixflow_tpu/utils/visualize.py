@@ -133,16 +133,39 @@ def mask_to_image(mask: np.ndarray) -> np.ndarray:
     return (np.asarray(mask).astype(np.uint8) * 255)
 
 
+def _frame_canvas(batch, s: int, view: int) -> np.ndarray:
+    """Pick a raster to draw on for sample s: the raw video frame when the
+    loader shipped them (first frame for view 1, last for view 2), else a
+    dark canvas of the original-image size from the coord vector."""
+    if "frames" in batch:
+        frames = np.asarray(batch["frames"][s])
+        return frames[0] if view == 1 else frames[-1]
+    coord = np.asarray(batch["coord1"][s])
+    w, h = int(coord[8]), int(coord[9])
+    return np.full((h, w, 3), 32, np.uint8)
+
+
+def _scale_pts(xs, ys, coord, frame_hw):
+    """Map original-image pixel coords onto a (possibly resized) raster."""
+    sw = frame_hw[1] / float(coord[8])
+    sh = frame_hw[0] / float(coord[9])
+    return np.asarray(xs) * sw, np.asarray(ys) * sh
+
+
 def save_debug_bundle(out_dir: str, step: int, batch, flow_fwd=None,
-                      mask_fwd=None, max_samples: int = 2):
+                      mask_fwd=None, max_samples: int = 2,
+                      feat_hw=(7, 7), pos_ratio: float = 0.7):
     """Dump the standard debug set for a batch: crop rects, flow renders,
-    cycle masks (reference renders under output/test_imgs/...)."""
+    cycle masks, and the in-loss pair geometry — bin-center grids before and
+    after the flow warp plus positive-pair lines, exactly what the loss saw
+    (reference `debug_utils.py:422-719` hooks inside `PixPro.py:99-104`;
+    renders land under output/test_imgs/...)."""
     os.makedirs(out_dir, exist_ok=True)
-    ims = np.asarray(batch.get("frames", batch["im1"]))
     coords1 = np.asarray(batch["coord1"])
-    for s in range(min(max_samples, len(coords1))):
+    n_render = min(max_samples, len(coords1))
+    for s in range(n_render):
         if "frames" in batch:
-            frame = ims[s, 0]
+            frame = np.asarray(batch["frames"][s, 0])
             draw_crop_rect(frame, coords1[s]).save(
                 os.path.join(out_dir, f"step{step}_s{s}_crop.png"))
         if flow_fwd is not None:
@@ -151,3 +174,43 @@ def save_debug_bundle(out_dir: str, step: int, batch, flow_fwd=None,
         if mask_fwd is not None:
             Image.fromarray(mask_to_image(np.asarray(mask_fwd[s]))).save(
                 os.path.join(out_dir, f"step{step}_s{s}_mask.png"))
+
+    if "coord2" not in batch:
+        return
+    import jax.numpy as jnp
+    from ..ops.loss import pair_loss_geometry
+
+    coords2 = np.asarray(batch["coord2"])
+    geom = pair_loss_geometry(
+        jnp.asarray(coords1[:n_render]), jnp.asarray(coords2[:n_render]),
+        tuple(feat_hw), pos_ratio,
+        flow=None if flow_fwd is None else jnp.asarray(
+            np.asarray(flow_fwd[:n_render], np.float32)),
+        flow_mask=None if mask_fwd is None else jnp.asarray(
+            np.asarray(mask_fwd[:n_render])))
+    geom = {k: (None if v is None else np.asarray(v)) for k, v in geom.items()}
+
+    for s in range(n_render):
+        f1 = _frame_canvas(batch, s, view=1)
+        f2 = _frame_canvas(batch, s, view=2)
+        qx0, qy0 = _scale_pts(geom["q_x_pre"][s], geom["q_y_pre"][s],
+                              coords1[s], f1.shape[:2])
+        qx1, qy1 = _scale_pts(geom["q_x"][s], geom["q_y"][s],
+                              coords1[s], f2.shape[:2])
+        kx, ky = _scale_pts(geom["k_x"][s], geom["k_y"][s],
+                            coords2[s], f2.shape[:2])
+        # pre-warp: view-1 grid (green) on the source frame, target grid
+        # (red) on the target frame — reference draw_points two-color render
+        draw_points(draw_crop_rect(f1, coords1[s]), qx0, qy0,
+                    color=(0, 255, 0)).save(
+            os.path.join(out_dir, f"step{step}_s{s}_grid_prewarp.png"))
+        # post-warp: flow-advected view-1 grid overlaid with the target grid
+        # on the target frame (both now live in the same frame)
+        img2 = draw_points(draw_crop_rect(f2, coords2[s], color=(0, 0, 255)),
+                           kx, ky, color=(255, 0, 0))
+        draw_points(img2, qx1, qy1, color=(0, 255, 0)).save(
+            os.path.join(out_dir, f"step{step}_s{s}_grid_postwarp.png"))
+        # positive pairs: lines between warped q centers and their matched
+        # k centers (reference draw_point_positive_pair)
+        draw_positive_pairs(f1, f2, qx0, qy0, kx, ky, geom["pos"][s]).save(
+            os.path.join(out_dir, f"step{step}_s{s}_pairs.png"))

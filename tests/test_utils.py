@@ -107,6 +107,8 @@ def test_save_debug_bundle(tmp_path):
                                     128, 72], np.float32), (2, 1)),
         "frames": rng.integers(0, 255, (2, 3, 72, 128, 3)).astype(np.uint8),
     }
+    batch["coord2"] = np.tile(np.array([0.2, 0.15, 0.5, 0.5, 25, 11, 40, 36,
+                                        128, 72], np.float32), (2, 1))
     flow = rng.standard_normal((2, 9, 16, 2)).astype(np.float32)
     mask = rng.random((2, 9, 16)) > 0.5
     save_debug_bundle(str(tmp_path), step=7, batch=batch,
@@ -115,6 +117,59 @@ def test_save_debug_bundle(tmp_path):
     assert "step7_s0_crop.png" in files
     assert "step7_s0_flow.png" in files
     assert "step7_s1_mask.png" in files
+    # in-loss geometry renders (pre/post-warp grids + positive-pair lines)
+    assert "step7_s0_grid_prewarp.png" in files
+    assert "step7_s0_grid_postwarp.png" in files
+    assert "step7_s1_pairs.png" in files
+
+
+def test_save_debug_bundle_no_frames_no_flow(tmp_path):
+    """Geometry renders fall back to a synthetic canvas and no warp."""
+    from pixflow_tpu.utils.visualize import save_debug_bundle
+    batch = {
+        "im1": np.zeros((1, 8, 8, 3), np.float32),
+        "coord1": np.array([[0.1, 0.1, 0.4, 0.4, 12, 7, 50, 40, 128, 72]],
+                           np.float32),
+        "coord2": np.array([[0.2, 0.2, 0.6, 0.6, 25, 14, 52, 29, 128, 72]],
+                           np.float32),
+    }
+    save_debug_bundle(str(tmp_path), step=1, batch=batch)
+    files = sorted(os.listdir(tmp_path))
+    assert "step1_s0_grid_prewarp.png" in files
+    assert "step1_s0_pairs.png" in files
+
+
+def test_pair_loss_geometry_matches_loss_mask():
+    """The exposed geometry is exactly the loss's positive mask: a loss
+    computed from geom['pos'] by hand reproduces pixpro_pair_loss."""
+    import jax.numpy as jnp
+    from pixflow_tpu.ops.loss import (pair_loss_geometry, pixpro_pair_loss,
+                                      l2_normalize)
+    rng = np.random.default_rng(11)
+    b, h, w, c = 2, 7, 7, 8
+    q = l2_normalize(jnp.asarray(rng.standard_normal((b, h, w, c)),
+                                 jnp.float32))
+    k = l2_normalize(jnp.asarray(rng.standard_normal((b, h, w, c)),
+                                 jnp.float32))
+    cq = jnp.asarray(np.tile(np.array(
+        [0.1, 0.1, 0.6, 0.6, 128, 72, 640, 360, 1280, 720], np.float32),
+        (b, 1)))
+    ck = jnp.asarray(np.tile(np.array(
+        [0.2, 0.2, 0.7, 0.7, 256, 144, 640, 360, 1280, 720], np.float32),
+        (b, 1)))
+    flow = jnp.asarray(3 * rng.standard_normal((b, 90, 160, 2)), jnp.float32)
+
+    geom = pair_loss_geometry(cq, ck, (h, w), 0.7, flow=flow)
+    pos = geom["pos"].astype(jnp.float32)
+    n = h * w
+    logit = jnp.einsum("bxc,byc->bxy", q.reshape(b, n, c), k.reshape(b, n, c))
+    by_hand = -2.0 * jnp.mean(
+        jnp.sum(logit * pos, axis=(1, 2)) / (jnp.sum(pos, axis=(1, 2)) + 1e-6))
+    loss, (pos_num, _) = pixpro_pair_loss(q, k, cq, ck, 0.7, flow=flow)
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(by_hand),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pos_num),
+                               np.asarray(jnp.sum(pos, axis=(1, 2))))
 
 
 def test_flo_roundtrip(tmp_path):
