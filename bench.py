@@ -45,9 +45,9 @@ def main():
     n_dev = len(jax.devices())
     mesh = make_data_mesh(n_dev) if n_dev > 1 else None
 
-    per_chip_batch = int(os.environ.get("BENCH_BATCH", "32"))
+    per_chip_batch = int(os.environ.get("BENCH_BATCH", "64"))
     flow_up = os.environ.get("BENCH_FLOW_UP", "1") == "1"
-    fuse_views = os.environ.get("BENCH_FUSE", "0") == "1"
+    fuse_views = os.environ.get("BENCH_FUSE", "1") == "1"
     n_scan = int(os.environ.get("BENCH_SCAN_STEPS", "10"))
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
 
@@ -135,6 +135,24 @@ def main():
     @jax.jit
     def many_steps(st, bt):
         return jax.lax.scan(lambda s, _: body(s, bt), st, None, length=n_scan)
+
+    if os.environ.get("BENCH_COST", "0") == "1":
+        # FLOP audit mode (docs/PERF.md): report the XLA-compiled cost of ONE
+        # step. NB: XLA's cost analysis counts a loop body once regardless of
+        # trip count, so we lower the bare step, not the scan.
+        comp = jax.jit(body).lower(state, batch).compile()
+        ca = comp.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_step = float(ca.get("flops", 0.0))
+        print(json.dumps({
+            "metric": "train_step_flops",
+            "value": flops_step,
+            "unit": "FLOPs/step",
+            "per_image_gflops": round(flops_step / b / 1e9, 2),
+            "bytes_accessed_per_step": float(ca.get("bytes accessed", 0.0)),
+            "batch": b, "flow_up": flow_up, "fuse_views": fuse_views,
+        }))
+        return
 
     # NOTE: on the tunneled axon platform block_until_ready can return before
     # execution finishes; an actual device->host scalar fetch is the only

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Input-pipeline microbench: images/sec through ShardedLoader on a
+synthetic BDD100k-style corpus (real JPEG decode + BYOL augmentation +
+flowpack window reads — the exact per-step host work of the nframe=6 flow
+recipe).
+
+Proves/paces the host side of the headline bench: the device step consumes
+`2 * batch` crops per step, so the loader must sustain
+`2 * batch * steps/sec` crop-pairs/sec... i.e. `img/s >= headline img/s`
+(one loader sample = one im1+im2 pair = one "image" of the device metric).
+
+Env: LOADER_VIDEOS (default 64), LOADER_FRAMES (6), LOADER_BATCH (64),
+LOADER_WORKERS (default: os.cpu_count()), LOADER_MODE (thread|process|both),
+LOADER_RES (default 720x1280 frames). Prints one JSON line per mode."""
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+import numpy as np
+
+
+def make_corpus(root: str, n_videos: int, n_frames: int, res, quality=90):
+    from PIL import Image
+    h, w = res
+    rng = np.random.default_rng(0)
+    train = os.path.join(root, "images", "train")
+    flow_dir = os.path.join(root, "flow_raw")
+    os.makedirs(flow_dir)
+    for v in range(n_videos):
+        vd = os.path.join(train, f"video{v:04d}")
+        os.makedirs(vd)
+        # low-frequency noise compresses like natural video (not white noise)
+        small = rng.integers(0, 255, (h // 16, w // 16, 3), np.uint8)
+        img = np.asarray(Image.fromarray(small).resize((w, h), Image.BILINEAR))
+        for f in range(n_frames):
+            arr = np.clip(img.astype(np.int16)
+                          + rng.integers(-12, 12, img.shape), 0, 255)
+            Image.fromarray(arr.astype(np.uint8)).save(
+                os.path.join(vd, f"frame{f:04d}.jpg"), quality=quality)
+        flows = (4 * rng.standard_normal(
+            (n_frames - 1, h // 8, w // 8, 2))).astype(np.float32)
+        np.save(os.path.join(flow_dir, f"video{v:04d}.npy"), flows)
+    return train, flow_dir
+
+
+def main():
+    from pixflow_tpu.data.datasets import VideoFrameDataset, list_image_folder
+    from pixflow_tpu.data.flowpack import pack_flow_dir
+    from pixflow_tpu.data.loader import ShardedLoader
+    from pixflow_tpu.data.transforms import get_transform
+
+    n_videos = int(os.environ.get("LOADER_VIDEOS", "64"))
+    n_frames = int(os.environ.get("LOADER_FRAMES", "6"))
+    batch = int(os.environ.get("LOADER_BATCH", "64"))
+    workers = int(os.environ.get("LOADER_WORKERS", str(os.cpu_count())))
+    mode = os.environ.get("LOADER_MODE", "both")
+    res = tuple(int(x) for x in
+                os.environ.get("LOADER_RES", "720x1280").split("x"))
+
+    root = tempfile.mkdtemp(prefix="pixflow_loaderbench_")
+    try:
+        train, flow_raw = make_corpus(root, n_videos, n_frames, res)
+        fwd_pack = os.path.join(root, "fwd.fpk")
+        bwd_pack = os.path.join(root, "bwd.fpk")
+        pack_flow_dir(flow_raw, fwd_pack, "float16")
+        pack_flow_dir(flow_raw, bwd_pack, "float16")
+
+        transform = get_transform("BYOL", 0.08, 224, emit_uint8=True)
+        ds = VideoFrameDataset(
+            samples=list_image_folder(train, "bdd100k"),
+            transform=transform, n_frames=n_frames, two_crop=True,
+            video_mode=True, flow_fwd_root=fwd_pack, flow_bwd_root=bwd_pack,
+            flow_dtype="float16")
+
+        batch = min(batch, len(ds))  # one sample per video per epoch
+        modes = ["thread", "process"] if mode == "both" else [mode]
+        for m in modes:
+            loader = ShardedLoader(ds, batch, seed=0, num_threads=workers,
+                                   prefetch=4, worker_mode=m)
+            min_batches = max(len(loader), 1) + 4
+            try:
+                n_img, n_batches, epoch = 0, -1, 0
+                t0 = None
+                while n_batches < min_batches:
+                    for b in loader.epoch(epoch):
+                        if t0 is None:  # warm the pipeline/pool first
+                            t0 = time.perf_counter()
+                        else:
+                            n_img += b["im1"].shape[0]
+                        n_batches += 1
+                    epoch += 1
+                dt = time.perf_counter() - t0
+            finally:
+                loader.close()
+            print(json.dumps({
+                "metric": f"loader_images_per_sec_{m}",
+                "value": round(n_img / dt, 2),
+                "unit": "images/sec/host",
+                "workers": workers, "batch": batch,
+                "n_frames": n_frames, "res": list(res),
+            }))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,10 @@ def parse_args() -> PretrainConfig:
     p.add_argument("--ann-file", type=str, default="")
     p.add_argument("--image-size", nargs="+", type=int, default=[224])
     p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--worker-mode", type=str, default="thread",
+                   choices=["thread", "process"],
+                   help="decode workers: in-process threads or "
+                        "forked processes (GIL-free decode)")
     p.add_argument("--n-frames", type=int, default=1)
     p.add_argument("--batch-size", type=int, default=64,
                    help="per-replica batch size")
@@ -67,6 +71,10 @@ def parse_args() -> PretrainConfig:
     p.add_argument("--model", type=str, default="PixPro")
     p.add_argument("--arch", type=str, default="resnet50")
     p.add_argument("--feature-dim", type=int, default=256)
+    p.add_argument("--fuse_views", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="run both views as one fused 2B pass per branch "
+                        "(per-view BN stats preserved; default on)")
 
     # optimization
     p.add_argument("--base-learning-rate", "--base-lr", dest="base_lr",
@@ -132,6 +140,7 @@ def parse_args() -> PretrainConfig:
         ("aug", d, "aug"), ("cache_mode", d, "cache_mode"),
         ("dataset", d, "dataset"), ("ann_file", d, "ann_file"),
         ("num_workers", d, "num_workers"), ("n_frames", d, "n_frames"),
+        ("worker_mode", d, "worker_mode"),
         ("batch_size", d, "batch_size"),
         ("flow_model", f, "flow_model"), ("alpha1", f, "alpha1"),
         ("alpha2", f, "alpha2"), ("flow_bs", f, "flow_bs"),
@@ -175,6 +184,8 @@ def parse_args() -> PretrainConfig:
         f.flow_up = a.flow_up
     if a.flow_up_lazy is not None:
         f.flow_up_lazy = a.flow_up_lazy
+    if a.fuse_views is not None:
+        m.fuse_views = a.fuse_views
 
     # infer RAFT-small from the checkpoint name, like reference option.py:109-113
     if f.flow_model and "small" in os.path.basename(f.flow_model):

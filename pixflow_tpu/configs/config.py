@@ -27,6 +27,9 @@ class DataConfig:
     image_size: int = 224
     n_frames: int = 1
     num_workers: int = 4
+    # 'thread' (in-process pool) or 'process' (forked decode
+    # workers, the reference DataLoader model; GIL-free)
+    worker_mode: str = "thread"
     batch_size: int = 64               # per replica (reference: per GPU)
     # transfer efficiency: ship uint8 crops (normalize on device) and f16
     # flow windows; 4x / 2x less host->device traffic, numerically benign
@@ -66,6 +69,10 @@ class ModelConfig:
     pixpro_clamp_value: float = 0.0
     pixpro_transform_layer: int = 0
     pixpro_ins_loss_weight: float = 0.0
+    # run both views through each branch as one fused 2B pass (per-view BN
+    # statistics preserved — models/norm.py; exactly the reference math at
+    # ~15% higher step rate). Auto-disabled for multi-span training.
+    fuse_views: bool = True
 
 
 @dataclass

@@ -159,16 +159,22 @@ class VideoFrameDataset:
 
     def __post_init__(self):
         self.use_flow_file = bool(self.flow_fwd_root) and bool(self.flow_bwd_root)
-        # flowpack mode: roots are .fpk shard files (native mmap reader)
-        self._pack_mode = (self.use_flow_file
-                           and self.flow_fwd_root.endswith(".fpk"))
+        # flowpack mode: roots are .fpk shard files, or directories of
+        # shard-*.fpk (per-host sharded corpora) — native mmap reader
+        def _is_pack(root):
+            if root.endswith(".fpk"):
+                return True
+            import glob as _glob
+            return bool(os.path.isdir(root)
+                        and _glob.glob(os.path.join(root, "*.fpk")))
+        self._pack_mode = self.use_flow_file and _is_pack(self.flow_fwd_root)
         self._pack_fwd = self._pack_bwd = None
 
     def _packs(self):
         if self._pack_fwd is None:
-            from .flowpack import FlowPackReader
-            self._pack_fwd = FlowPackReader(self.flow_fwd_root)
-            self._pack_bwd = FlowPackReader(self.flow_bwd_root)
+            from .flowpack import open_flow_source
+            self._pack_fwd = open_flow_source(self.flow_fwd_root)
+            self._pack_bwd = open_flow_source(self.flow_bwd_root)
         return self._pack_fwd, self._pack_bwd
 
     def init_cache(self, mode: str = "part", host_id: int = 0,

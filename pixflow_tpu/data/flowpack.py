@@ -81,19 +81,34 @@ def write_flowpack(path: str, videos: Iterable[Tuple[str, np.ndarray]],
             f.write(np.ascontiguousarray(flows, np_dtype).tobytes())
 
 
-def pack_flow_dir(flow_dir: str, out_path: str, dtype: str = "float16"):
-    """Pack a directory of per-video .pth/.npy flow files into one shard."""
+def pack_flow_dir(flow_dir: str, out_path: str, dtype: str = "float16",
+                  n_shards: int = 1):
+    """Pack a directory of per-video .pth/.npy flow files.
+
+    n_shards == 1: one `.fpk` file at out_path. n_shards > 1: out_path is a
+    directory receiving `shard-%05d-of-%05d.fpk` with videos striped
+    round-robin over sorted names — per-host corpora for multi-host
+    training (each host's loader touches only its own videos' pages, and
+    shards can live on different filesystems)."""
     from .datasets import load_flow_file
 
-    def gen():
-        for fname in sorted(os.listdir(flow_dir)):
-            stem, ext = os.path.splitext(fname)
-            if ext not in (".pth", ".npy"):
-                continue
-            flows, num = load_flow_file(os.path.join(flow_dir, fname), 0, 10**9)
+    names = [os.path.splitext(f) for f in sorted(os.listdir(flow_dir))]
+    names = [(stem, ext) for stem, ext in names if ext in (".pth", ".npy")]
+
+    def gen(subset):
+        for stem, ext in subset:
+            flows, _ = load_flow_file(os.path.join(flow_dir, stem + ext),
+                                      0, 10**9)
             yield stem, flows
 
-    write_flowpack(out_path, gen(), dtype)
+    if n_shards <= 1:
+        write_flowpack(out_path, gen(names), dtype)
+        return
+    os.makedirs(out_path, exist_ok=True)
+    for s in range(n_shards):
+        write_flowpack(
+            os.path.join(out_path, f"shard-{s:05d}-of-{n_shards:05d}.fpk"),
+            gen(names[s::n_shards]), dtype)
 
 
 class FlowPackReader:
@@ -144,3 +159,55 @@ class FlowPackReader:
             self.close()
         except Exception:
             pass
+
+
+class MultiPackReader:
+    """Reader over a directory of flowpack shards (`pack_flow_dir`
+    n_shards>1 layout). Same interface as FlowPackReader; `find` returns an
+    opaque handle encoding (shard, index)."""
+
+    _SHARD_SHIFT = 32
+
+    def __init__(self, path: str):
+        import glob as _glob
+        paths = sorted(_glob.glob(os.path.join(path, "*.fpk")))
+        if not paths:
+            raise FileNotFoundError(f"no .fpk shards under {path}")
+        self._readers = [FlowPackReader(p) for p in paths]
+        self.h, self.w = self._readers[0].h, self._readers[0].w
+        self.dtype = self._readers[0].dtype
+
+    def __len__(self):
+        return sum(len(r) for r in self._readers)
+
+    def find(self, name: str) -> int:
+        for si, r in enumerate(self._readers):
+            i = r.find(name)
+            if i >= 0:
+                return (si << self._SHARD_SHIFT) | i
+        return -1
+
+    def num_flows(self, handle: int) -> int:
+        r = self._readers[handle >> self._SHARD_SHIFT]
+        return r.num_flows(handle & ((1 << self._SHARD_SHIFT) - 1))
+
+    def read(self, name_or_handle, start: int, count: int) -> np.ndarray:
+        if isinstance(name_or_handle, str):
+            name_or_handle = self.find(name_or_handle)
+            if name_or_handle < 0:
+                raise KeyError("video not in any shard")
+        r = self._readers[name_or_handle >> self._SHARD_SHIFT]
+        return r.read(name_or_handle & ((1 << self._SHARD_SHIFT) - 1),
+                      start, count)
+
+    def close(self):
+        for r in self._readers:
+            r.close()
+
+
+def open_flow_source(path: str):
+    """FlowPackReader for a single `.fpk` file, MultiPackReader for a
+    directory of shards."""
+    if os.path.isdir(path):
+        return MultiPackReader(path)
+    return FlowPackReader(path)

@@ -4,7 +4,19 @@ Replaces the reference's DataLoader + DistributedSampler stack
 (`contrast/data/__init__.py:70-85`): deterministic per-epoch shuffling keyed
 on (seed, epoch) with wrap-around padding, per-host index striding (one JAX
 process per host feeds its local slice of the global batch), and a
-thread-pool pipeline that decodes/augments ahead of the device step."""
+prefetch pipeline that decodes/augments ahead of the device step.
+
+Two worker models, selected by `worker_mode`:
+  * 'thread'  — a thread pool inside the producer. Zero IPC cost, but JPEG
+    decode under PIL holds the GIL for stretches; fine for tests and
+    moderate step rates.
+  * 'process' — forked decode workers (the reference DataLoader's
+    `num_workers` model, `contrast/data/__init__.py:77-85`). Decode and
+    augmentation run GIL-free in the children; samples return by pickle.
+    Workers are forked lazily at first use, AFTER `init_cache`, so the
+    byte cache is shared copy-on-write instead of duplicated.
+Both modes consume the identical per-index RNG stream, so they produce
+bit-identical batches (test-pinned)."""
 
 from __future__ import annotations
 
@@ -19,14 +31,27 @@ import numpy as np
 from .datasets import VideoFrameDataset, list_annotation_file, list_image_folder
 from .transforms import get_transform
 
+# Fork-inherited dataset for process workers. Set immediately before the
+# Pool() fork and cleared right after: children keep their inherited copy,
+# the parent doesn't hold a second reference.
+_FORK_DATASET = None
+
+
+def _proc_fetch(args):
+    idx, seed = args
+    rng = random.Random(seed)
+    return _FORK_DATASET.__getitem__(int(idx), rng)
+
 
 class ShardedLoader:
     def __init__(self, dataset, global_batch_size: int, *,
                  num_hosts: int = 1, host_id: int = 0, seed: int = 0,
                  shuffle: bool = True, drop_last: bool = True,
-                 num_threads: int = 4, prefetch: int = 2):
+                 num_threads: int = 4, prefetch: int = 2,
+                 worker_mode: str = "thread"):
         assert global_batch_size % num_hosts == 0, \
             "global batch must divide evenly across hosts"
+        assert worker_mode in ("thread", "process")
         self.dataset = dataset
         self.global_batch_size = global_batch_size
         self.local_batch_size = global_batch_size // num_hosts
@@ -37,6 +62,33 @@ class ShardedLoader:
         self.drop_last = drop_last
         self.num_threads = max(num_threads, 1)
         self.prefetch = prefetch
+        self.worker_mode = worker_mode
+        self._pool = None
+
+    def _process_pool(self):
+        """Persistent forked worker pool (lazy, one per loader)."""
+        if self._pool is None:
+            import multiprocessing as mp
+            global _FORK_DATASET
+            ctx = mp.get_context("fork")
+            _FORK_DATASET = self.dataset
+            try:
+                self._pool = ctx.Pool(self.num_threads)
+            finally:
+                _FORK_DATASET = None
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self):
         """Steps per epoch (matches DistributedSampler: pad-to-even split,
@@ -69,13 +121,14 @@ class ShardedLoader:
             rng = random.Random(base_seed + int(i))
             return self.dataset.__getitem__(int(i), rng)
 
-        if self.num_threads == 1:
+        if self.num_threads == 1 and self.worker_mode == "thread":
             for b in range(n_batches):
                 chunk = indices[b * bs:(b + 1) * bs]
                 yield _collate([fetch(i) for i in chunk])
             return
 
-        # thread-pool prefetch pipeline
+        # prefetch pipeline: a producer thread maps each batch's indices
+        # over the worker pool (threads or forked processes)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         error: list = []
@@ -89,17 +142,25 @@ class ShardedLoader:
                     continue
             return False
 
+        def _batches_from(map_fn):
+            for b in range(n_batches):
+                if stop.is_set():
+                    return
+                chunk = indices[b * bs:(b + 1) * bs]
+                if not _put(_collate(list(map_fn(chunk)))):
+                    return
+
         def producer():
-            from concurrent.futures import ThreadPoolExecutor
             try:
-                with ThreadPoolExecutor(self.num_threads) as pool:
-                    for b in range(n_batches):
-                        if stop.is_set():
-                            return
-                        chunk = indices[b * bs:(b + 1) * bs]
-                        samples = list(pool.map(fetch, chunk))
-                        if not _put(_collate(samples)):
-                            return
+                if self.worker_mode == "process":
+                    pool = self._process_pool()
+                    _batches_from(lambda chunk: pool.map(
+                        _proc_fetch,
+                        [(int(i), base_seed + int(i)) for i in chunk]))
+                else:
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(self.num_threads) as pool:
+                        _batches_from(lambda chunk: pool.map(fetch, chunk))
             except BaseException as e:  # propagate worker failures
                 error.append(e)
             finally:
@@ -181,4 +242,5 @@ def build_pretrain_loader(cfg, *, global_batch_size: Optional[int] = None,
     global_batch = global_batch_size or data.batch_size * num_hosts
     return ShardedLoader(dataset, global_batch, num_hosts=num_hosts,
                          host_id=host_id, seed=cfg.runtime.seed,
-                         num_threads=max(data.num_workers, 1))
+                         num_threads=max(data.num_workers, 1),
+                         worker_mode=getattr(data, "worker_mode", "thread"))

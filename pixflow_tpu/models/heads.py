@@ -12,6 +12,8 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .norm import batch_norm
+
 
 class MLP2d(nn.Module):
     inner_dim: int = 4096
@@ -19,14 +21,16 @@ class MLP2d(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     bn_momentum: float = 0.9
+    view_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = nn.Dense(self.inner_dim, dtype=self.dtype, name="linear1")(x)
-        x = nn.BatchNorm(use_running_average=not train,
-                         momentum=self.bn_momentum, epsilon=1e-5,
-                         axis_name=self.axis_name, dtype=self.dtype,
-                         name="bn1")(x)
+        x = batch_norm(view_groups=self.view_groups,
+                       use_running_average=not train,
+                       momentum=self.bn_momentum, epsilon=1e-5,
+                       axis_name=self.axis_name, dtype=self.dtype,
+                       name="bn1")(x)
         x = nn.relu(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="linear2")(x)
         return x

@@ -84,10 +84,12 @@ class PixPro(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     bn_momentum: float = 0.9
-    # perf opt-in: run both views through each branch as ONE 2B-batch pass
-    # (bigger convs -> better MXU utilization). BN statistics then pool both
-    # views jointly instead of per-view — a deliberate deviation from the
-    # reference's sequential two-call BN; off by default.
+    # perf: run both views through each branch as ONE 2B-batch pass (bigger
+    # convs -> better MXU utilization). BatchNorm still computes *per-view*
+    # statistics inside the fused batch (models/norm.py:ViewBatchNorm), so
+    # the math — including running-average order — is exactly the
+    # reference's sequential two-call semantics. Incompatible with
+    # multi_span_loss (which batches frames, not views).
     fuse_views: bool = False
     # use the fused Pallas pair-similarity kernel (TPU only; exact value and
     # gradient parity with the XLA composition is test-asserted)
@@ -95,7 +97,8 @@ class PixPro(nn.Module):
 
     def setup(self):
         common = dict(dtype=self.dtype, axis_name=self.axis_name,
-                      bn_momentum=self.bn_momentum)
+                      bn_momentum=self.bn_momentum,
+                      view_groups=2 if self.fuse_views else 1)
         enc = lambda: make_resnet(self.arch, head_type="early_return", **common)
         head = lambda: MLP2d(self.proj_inner_dim, self.proj_out_dim, **common)
 
@@ -187,6 +190,9 @@ class PixPro(nn.Module):
         `all_concat_flow` order; spans: static [(length, start)];
         n_frames_eff: [B] real frame counts (short videos -> padded tails).
         """
+        assert not self.fuse_views, \
+            "multi_span_loss batches frames, not views; build the model " \
+            "with fuse_views=False for use_flow_frames training"
         b, f = ims1.shape[:2]
 
         def flat(x):

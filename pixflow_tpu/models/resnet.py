@@ -27,6 +27,8 @@ from typing import Any, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .norm import batch_norm
+
 # He fan-out normal: matches the reference's Conv2d init
 # (normal(0, sqrt(2/n)), n = k*k*out_channels — `contrast/resnet.py:156-159`).
 he_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
@@ -45,6 +47,7 @@ class ConvBN(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     bn_momentum: float = 0.9
+    view_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -61,7 +64,8 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = batch_norm(
+            view_groups=self.view_groups,
             use_running_average=not train,
             momentum=self.bn_momentum,
             epsilon=1e-5,
@@ -84,13 +88,15 @@ class BasicBlock(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     bn_momentum: float = 0.9
+    view_groups: int = 1
 
     expansion = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         common = dict(dtype=self.dtype, axis_name=self.axis_name,
-                      bn_momentum=self.bn_momentum)
+                      bn_momentum=self.bn_momentum,
+                      view_groups=self.view_groups)
         out_ch = self.planes * self.expansion
 
         y = ConvBN(self.planes, 3, self.stride, name="cell1", **common)(x, train)
@@ -112,13 +118,15 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     bn_momentum: float = 0.9
+    view_groups: int = 1
 
     expansion = 4
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         common = dict(dtype=self.dtype, axis_name=self.axis_name,
-                      bn_momentum=self.bn_momentum)
+                      bn_momentum=self.bn_momentum,
+                      view_groups=self.view_groups)
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out_ch = self.planes * self.expansion
 
@@ -158,6 +166,7 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     bn_momentum: float = 0.9
+    view_groups: int = 1
 
     @property
     def feature_dim(self) -> int:
@@ -167,7 +176,8 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         common = dict(dtype=self.dtype, axis_name=self.axis_name,
-                      bn_momentum=self.bn_momentum)
+                      bn_momentum=self.bn_momentum,
+                      view_groups=self.view_groups)
         base = 64 * self.width
         x = x.astype(self.dtype)
 
@@ -182,10 +192,11 @@ class ResNet(nn.Module):
             x = nn.Conv(base, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                         use_bias=False, kernel_init=he_fan_out,
                         dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train,
-                         momentum=self.bn_momentum, epsilon=1e-5,
-                         axis_name=self.axis_name, dtype=self.dtype,
-                         name="bn1")(x)
+        x = batch_norm(view_groups=self.view_groups,
+                       use_running_average=not train,
+                       momentum=self.bn_momentum, epsilon=1e-5,
+                       axis_name=self.axis_name, dtype=self.dtype,
+                       name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
 
@@ -232,10 +243,11 @@ class ResNet(nn.Module):
             out = nn.Conv(mid_dim, (1, 1), use_bias=False,
                           kernel_init=he_fan_out, dtype=self.dtype,
                           name="fc1")(c5)
-            out = nn.BatchNorm(use_running_average=not train,
-                               momentum=self.bn_momentum, epsilon=1e-5,
-                               axis_name=self.axis_name, dtype=self.dtype,
-                               name="bn2")(out)
+            out = batch_norm(view_groups=self.view_groups,
+                             use_running_average=not train,
+                             momentum=self.bn_momentum, epsilon=1e-5,
+                             axis_name=self.axis_name, dtype=self.dtype,
+                             name="bn2")(out)
             out = nn.relu(out)
             out = nn.avg_pool(out, (7, 7), (1, 1))
             out = out.reshape(out.shape[0], -1)

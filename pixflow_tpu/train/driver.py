@@ -31,7 +31,10 @@ from .train_step import make_train_step
 
 def build_model(cfg: PretrainConfig, axis_name: Optional[str]) -> PixPro:
     dtype = jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jnp.float32
+    multi_span = (cfg.flow.use_flow_frames and cfg.flow.use_flow
+                  and cfg.data.n_frames > 2)
     return PixPro(
+        fuse_views=cfg.model.fuse_views and not multi_span,
         arch=cfg.model.arch,
         pixpro_p=cfg.model.pixpro_p,
         pixpro_clamp_value=cfg.model.pixpro_clamp_value,

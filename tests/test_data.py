@@ -173,6 +173,41 @@ def test_sharded_loader_partition_and_determinism(synth_root):
     assert a != c or N_VIDEOS <= 2
 
 
+def test_process_workers_match_thread_workers(synth_root):
+    """worker_mode='process' (forked decode workers) yields bit-identical
+    batches to the thread pool — same per-index RNG stream."""
+    t = get_transform("BYOL", 0.2, image_size=32)
+    videos = list_image_folder(os.path.join(synth_root, "train"), "bdd100k")
+    ds = VideoFrameDataset(samples=videos, transform=t, n_frames=1,
+                           two_crop=True)
+    lt = ShardedLoader(ds, 4, seed=3, num_threads=2, worker_mode="thread")
+    lp = ShardedLoader(ds, 4, seed=3, num_threads=2, worker_mode="process")
+    try:
+        for bt, bp in zip(lt.epoch(2), lp.epoch(2)):
+            assert sorted(bt.keys()) == sorted(bp.keys())
+            for k in bt:
+                np.testing.assert_array_equal(bt[k], bp[k])
+    finally:
+        lp.close()
+
+
+def test_process_workers_propagate_errors(synth_root):
+    t = get_transform("NULL", 0.2, image_size=32)
+    videos = list_image_folder(os.path.join(synth_root, "train"), "bdd100k")
+    ds = VideoFrameDataset(samples=videos, transform=t, n_frames=3,
+                           two_crop=True,
+                           flow_fwd_root="/nonexistent/fwd",
+                           flow_bwd_root="/nonexistent/bwd")
+    loader = ShardedLoader(ds, 4, num_threads=2, prefetch=1,
+                           worker_mode="process")
+    try:
+        with pytest.raises(FileNotFoundError):
+            for _ in loader.epoch(0):
+                pass
+    finally:
+        loader.close()
+
+
 def test_loader_propagates_worker_errors(synth_root):
     """A failing sample fetch must raise in the consumer, not hang."""
     t = get_transform("NULL", 0.2, image_size=32)

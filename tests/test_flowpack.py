@@ -108,3 +108,27 @@ def test_pack_flow_dir_and_dataset_integration(tmp_path):
                                 == s["flows_fwd"][0].reshape(-1),
                                 axis=1))[0][0])
     np.testing.assert_array_equal(s["flows_fwd"], full[start:start + 2])
+
+
+def test_sharded_pack_and_multi_reader(tmp_path, pack):
+    """pack_flow_dir(n_shards>1) + MultiPackReader: same data, same
+    interface as the single-shard reader."""
+    from pixflow_tpu.data.flowpack import MultiPackReader, open_flow_source
+    _, videos = pack
+    src = tmp_path / "flows"
+    src.mkdir()
+    for name, flows in videos.items():
+        np.save(str(src / f"{name}.npy"), flows)
+    out = str(tmp_path / "packs")
+    pack_flow_dir(str(src), out, dtype="float32", n_shards=3)
+    assert len(os.listdir(out)) == 3
+
+    r = open_flow_source(out)
+    assert isinstance(r, MultiPackReader)
+    assert len(r) == len(videos)
+    for name, flows in videos.items():
+        h = r.find(name)
+        assert h >= 0
+        assert r.num_flows(h) == flows.shape[0]
+        np.testing.assert_array_equal(r.read(name, 1, 3), flows[1:4])
+    assert r.find("nope") < 0

@@ -129,21 +129,94 @@ def test_pixpro_gradients_skip_momentum_branch(tiny_pixpro):
     assert np.abs(gq).sum() > 0.0
 
 
-def test_fuse_views_runs_and_matches_structure(tiny_pixpro):
-    """fuse_views=True (single 2B-batch pass per branch) must produce the
-    same loss up to BN-statistics differences (joint vs per-view stats)."""
+def test_fuse_views_exact_equivalence(tiny_pixpro):
+    """fuse_views=True (single 2B-batch pass per branch, per-view BN stats
+    via ViewBatchNorm) must reproduce the unfused model's loss, gradients,
+    and running BN statistics on the SAME parameter tree — the fused layout
+    is a pure execution-schedule change, not a semantic one."""
     model, params, batch_stats, im = tiny_pixpro
     fused = PixPro(arch="resnet18", pixpro_p=2.0, pixpro_transform_layer=1,
                    proj_inner_dim=64, proj_out_dim=32, fuse_views=True)
-    coord = jnp.asarray(np.tile(np.array([0.1, 0.1, 0.4, 0.4, 128, 72, 384,
-                                          216, 1280, 720], np.float32), (2, 1)))
-    (loss, stats), _ = fused.apply(
-        {"params": params, "batch_stats": batch_stats},
-        im, im, coord, coord, train=True, mutable=["batch_stats"])
-    assert np.isfinite(float(loss))
-    # identical views through identical branches: both views' stats agree
-    np.testing.assert_allclose(np.asarray(stats["pos_num_1"]),
-                               np.asarray(stats["pos_num_2"]))
+    rng = np.random.default_rng(5)
+    im2 = jnp.asarray(rng.standard_normal(im.shape), jnp.float32)
+    coord1 = jnp.asarray(np.tile(np.array([0.1, 0.1, 0.4, 0.4, 128, 72, 384,
+                                           216, 1280, 720], np.float32), (2, 1)))
+    coord2 = jnp.asarray(np.tile(np.array([0.2, 0.15, 0.55, 0.5, 256, 108,
+                                           448, 252, 1280, 720], np.float32),
+                                 (2, 1)))
+
+    def run(m, p):
+        (l, _), mut = m.apply({"params": p, "batch_stats": batch_stats},
+                              im, im2, coord1, coord2, train=True,
+                              mutable=["batch_stats"])
+        return l, mut["batch_stats"]
+
+    loss_u, bs_u = run(model, params)
+    loss_f, bs_f = run(fused, params)
+    np.testing.assert_allclose(float(loss_f), float(loss_u),
+                               rtol=2e-5, atol=2e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5), bs_u, bs_f)
+
+    gu = jax.grad(lambda p: run(model, p)[0])(params)
+    gf = jax.grad(lambda p: run(fused, p)[0])(params)
+    flat_u = jax.tree.leaves(gu)
+    flat_f = jax.tree.leaves(gf)
+    for a, b in zip(flat_u, flat_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-5)
+
+
+def test_view_batch_norm_matches_sequential_bn():
+    """ViewBatchNorm over [2B, H, W, C] == two sequential nn.BatchNorm calls
+    on the halves: same outputs, same running statistics (sequential EMA
+    order, view 0 first)."""
+    from flax import linen as nn
+    from pixflow_tpu.models.norm import ViewBatchNorm
+    rng = np.random.default_rng(9)
+    x1 = jnp.asarray(rng.standard_normal((3, 4, 4, 6)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((3, 4, 4, 6)), jnp.float32)
+
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    vbn = ViewBatchNorm(view_groups=2, use_running_average=False,
+                        momentum=0.9, epsilon=1e-5)
+    variables = ref.init(jax.random.PRNGKey(0), x1)
+    # non-trivial affine + running state
+    variables = jax.tree.map(
+        lambda a: a + 0.1 * jnp.arange(a.size, dtype=a.dtype), variables)
+
+    y1, m1 = ref.apply(variables, x1, mutable=["batch_stats"])
+    v2 = {"params": variables["params"], "batch_stats": m1["batch_stats"]}
+    y2, m2 = ref.apply(v2, x2, mutable=["batch_stats"])
+
+    yf, mf = vbn.apply(variables, jnp.concatenate([x1, x2], axis=0),
+                       mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yf[:3]), np.asarray(y1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(yf[3:]), np.asarray(y2),
+                               rtol=1e-5, atol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        m2["batch_stats"], mf["batch_stats"])
+
+
+def test_view_batch_norm_eval_matches_bn():
+    from flax import linen as nn
+    from pixflow_tpu.models.norm import batch_norm, ViewBatchNorm
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((4, 3, 3, 5)), jnp.float32)
+    ref = nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5)
+    variables = ref.init(jax.random.PRNGKey(1), x)
+    variables = jax.tree.map(lambda a: a + 0.25, variables)
+    y_ref = ref.apply(variables, x)
+    # the factory picks stock BN in eval mode regardless of view_groups
+    mod = batch_norm(view_groups=2, use_running_average=True, momentum=0.9)
+    np.testing.assert_allclose(np.asarray(mod.apply(variables, x)),
+                               np.asarray(y_ref), rtol=1e-6, atol=1e-7)
+    # and the ViewBatchNorm eval path agrees too
+    vbn = ViewBatchNorm(view_groups=2, use_running_average=True, momentum=0.9)
+    np.testing.assert_allclose(np.asarray(vbn.apply(variables, x)),
+                               np.asarray(y_ref), rtol=1e-5, atol=1e-6)
 
 
 def test_ema_update_math():

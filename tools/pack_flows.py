@@ -13,8 +13,11 @@ def main():
     p.add_argument("out", help="output .fpk shard path")
     p.add_argument("--dtype", choices=["float16", "float32"],
                    default="float16")
+    p.add_argument("--shards", type=int, default=1,
+                   help="split into N shard files under OUT (a directory "
+                        "when N>1) for per-host corpora")
     a = p.parse_args()
-    pack_flow_dir(a.flow_dir, a.out, a.dtype)
+    pack_flow_dir(a.flow_dir, a.out, a.dtype, n_shards=a.shards)
     print(a.out)
 
 
