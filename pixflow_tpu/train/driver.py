@@ -268,5 +268,7 @@ def train(cfg: PretrainConfig):
             logger.info("saved checkpoint %s", path)
 
     if metrics_writer is not None:
+        if not cfg.runtime.debug:
+            metrics_writer.save_artifacts(cfg.runtime.output_dir)
         metrics_writer.close()
     return state

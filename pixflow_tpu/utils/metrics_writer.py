@@ -41,6 +41,21 @@ class MetricsWriter:
         if self._wandb is not None:
             self._wandb.log(rec, step=int(step))
 
+    def save_artifacts(self, output_dir: str):
+        """End-of-run artifact upload: attach the config dump, the JSONL
+        loss curve, and any TensorBoard event files to the wandb run
+        (reference `main_pretrain.py:397-400` wandb.save of events.*)."""
+        if self._wandb is None:
+            return
+        import glob
+        paths = [os.path.join(output_dir, "config.json"),
+                 os.path.join(output_dir, "metrics.jsonl")]
+        paths += glob.glob(os.path.join(output_dir, "tb", "events.*"))
+        paths += glob.glob(os.path.join(output_dir, "events.*"))
+        for path in paths:
+            if os.path.exists(path):
+                self._wandb.save(path, base_path=output_dir)
+
     def close(self):
         self._jsonl.close()
         if self._tb is not None:

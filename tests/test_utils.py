@@ -194,3 +194,32 @@ def test_kitti_png_roundtrip(tmp_path):
     out, valid = read_kitti_png(p)
     np.testing.assert_allclose(out, flow, atol=1 / 64)
     assert valid.all()
+
+
+def test_metrics_writer_jsonl_and_artifacts(tmp_path):
+    """JSONL sink + end-of-run wandb artifact upload (config, loss curve,
+    TB events) — reference main_pretrain.py:397-400."""
+    import json as _json
+    from pixflow_tpu.utils.metrics_writer import MetricsWriter
+
+    class FakeRun:
+        def __init__(self):
+            self.logged, self.saved = [], []
+        def log(self, rec, step=None):
+            self.logged.append((step, rec))
+        def save(self, path, base_path=None):
+            self.saved.append(os.path.basename(path))
+
+    run = FakeRun()
+    out = str(tmp_path)
+    with open(os.path.join(out, "config.json"), "w") as f:
+        f.write("{}")
+    w = MetricsWriter(out, use_tensorboard=False, wandb_run=run)
+    w.write(3, {"loss": -1.5, "lr": 0.1})
+    w.save_artifacts(out)
+    w.close()
+
+    lines = open(os.path.join(out, "metrics.jsonl")).read().splitlines()
+    assert _json.loads(lines[0]) == {"step": 3, "loss": -1.5, "lr": 0.1}
+    assert run.logged[0][0] == 3
+    assert "config.json" in run.saved and "metrics.jsonl" in run.saved
