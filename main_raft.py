@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""RAFT fine-tuning CLI (TPU counterpart of the original RAFT train.py,
+which the reference relied on out-of-tree — see `dataset_prepare/raft_bdd100k`
+and `contrast/flow/datasets.py:212-281`).
+
+Stages follow the standard curriculum (chairs -> things -> sintel/kitti).
+Example:
+    python main_raft.py --stage chairs --chairs-root data/FlyingChairs_release \\
+        --num-steps 120000 --batch-size 8 --lr 4e-4 --output-dir out/raft
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import time
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser("pixflow-tpu RAFT fine-tuning")
+    p.add_argument("--stage", default="chairs",
+                   choices=["chairs", "things", "sintel", "kitti"])
+    p.add_argument("--chairs-root", default="")
+    p.add_argument("--things-root", default="")
+    p.add_argument("--sintel-root", default="")
+    p.add_argument("--kitti-root", default="")
+    p.add_argument("--hd1k-root", default="")
+    p.add_argument("--small", action="store_true")
+    p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--gamma", type=float, default=0.8)
+    p.add_argument("--crop-size", nargs=2, type=int, default=None,
+                   help="default: stage-standard crop")
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="global batch (sharded over the data mesh)")
+    p.add_argument("--num-steps", type=int, default=120000)
+    p.add_argument("--lr", type=float, default=4e-4)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--clip-norm", type=float, default=1.0)
+    p.add_argument("--restore", default="", help="warm-start checkpoint "
+                   "(.msgpack from this trainer or a torch .pth via the "
+                   "importer)")
+    p.add_argument("--output-dir", default="./output/raft")
+    p.add_argument("--print-freq", type=int, default=100)
+    p.add_argument("--save-freq", type=int, default=5000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-workers", type=int, default=4)
+    return p.parse_args()
+
+
+STAGE_CROPS = {"chairs": (368, 496), "things": (400, 720),
+               "sintel": (368, 768), "kitti": (288, 960)}
+
+
+def main():
+    a = parse_args()
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from pixflow_tpu.data.raft_datasets import fetch_stage_dataset
+    from pixflow_tpu.models.raft import RAFT
+    from pixflow_tpu.parallel import make_data_mesh
+    from pixflow_tpu.parallel.mesh import enable_compilation_cache
+    from pixflow_tpu.train.raft_trainer import (make_raft_train_step,
+                                                raft_optimizer)
+
+    enable_compilation_cache()
+    os.makedirs(a.output_dir, exist_ok=True)
+
+    crop = tuple(a.crop_size) if a.crop_size else STAGE_CROPS[a.stage]
+    roots = {"chairs": a.chairs_root, "things": a.things_root,
+             "sintel": a.sintel_root, "kitti": a.kitti_root,
+             "hd1k": a.hd1k_root}
+    dataset = fetch_stage_dataset(a.stage, roots, crop)
+    assert len(dataset) > 0, f"no samples for stage {a.stage} under {roots}"
+    print(f"training with {len(dataset)} image pairs, crop {crop}")
+
+    n_dev = len(jax.devices())
+    mesh = make_data_mesh(n_dev) if n_dev > 1 else None
+    assert a.batch_size % max(n_dev, 1) == 0
+
+    model = RAFT(small=a.small)
+    rng = np.random.default_rng(a.seed)
+    h, w = crop
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(a.seed), dummy, dummy, iters=1)
+    params = variables["params"]
+
+    if a.restore:
+        if a.restore.endswith(".pth"):
+            from pixflow_tpu.models.raft.convert import load_raft
+            _, variables = load_raft(a.restore, small=a.small)
+            params = variables["params"]
+        else:
+            with open(a.restore, "rb") as f:
+                params = serialization.from_bytes(params, f.read())
+
+    schedule, tx = raft_optimizer(a.lr, a.num_steps, a.weight_decay,
+                                  a.clip_norm)
+    state = (params, tx.init(params), jnp.zeros((), jnp.int32))
+    step_fn = make_raft_train_step(model, tx, iters=a.iters, gamma=a.gamma,
+                                   mesh=mesh)
+
+    def sample_batch(step):
+        idx = rng.integers(0, len(dataset), a.batch_size)
+        out = {"img1": [], "img2": [], "flow": [], "valid": []}
+        for j, i in enumerate(idx):
+            r = random.Random(a.seed * 9973 + step * 131 + j)
+            i1, i2, fl, va = dataset.__getitem__(int(i), r)
+            out["img1"].append(i1)
+            out["img2"].append(i2)
+            out["flow"].append(fl)
+            out["valid"].append(va)
+        return {k: np.stack(v).astype(np.float32) for k, v in out.items()}
+
+    metrics_path = os.path.join(a.output_dir, "raft_metrics.jsonl")
+    t0 = time.time()
+    for step in range(1, a.num_steps + 1):
+        state, metrics = step_fn(state, sample_batch(step))
+        if step % a.print_freq == 0 or step == 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            m.update(step=step, lr=float(schedule(step)),
+                     sec_per_step=(time.time() - t0) / step)
+            print("step {step}: loss {loss:.4f} epe {epe:.3f} "
+                  "1px {1px:.3f} 3px {3px:.3f} 5px {5px:.3f}".format(**m))
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(m) + "\n")
+        if step % a.save_freq == 0 or step == a.num_steps:
+            path = os.path.join(a.output_dir, f"raft_{a.stage}_{step}.msgpack")
+            with open(path, "wb") as f:
+                f.write(serialization.to_bytes(state[0]))
+            print(f"saved {path}")
+
+
+if __name__ == "__main__":
+    main()

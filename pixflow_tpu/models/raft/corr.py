@@ -30,7 +30,8 @@ def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
 
     pyramid = [corr]
     for _ in range(num_levels - 1):
-        corr = nn.avg_pool(corr, (2, 2), (2, 2))
+        if min(corr.shape[1:3]) >= 2:  # stop shrinking at 1x1 (tiny inputs)
+            corr = nn.avg_pool(corr, (2, 2), (2, 2))
         pyramid.append(corr)
     return pyramid
 
@@ -53,8 +54,12 @@ def lookup_corr(pyramid: List[jnp.ndarray], coords: jnp.ndarray,
     for lvl, corr in enumerate(pyramid):
         hl, wl = corr.shape[1:3]
         pts = centroid / (2 ** lvl) + delta[None]  # [BHW, win, win, 2]
-        gx = 2.0 * pts[..., 0] / (wl - 1) - 1.0
-        gy = 2.0 * pts[..., 1] / (hl - 1) - 1.0
+        # degenerate 1-wide/-tall levels: everything samples the one texel
+        # (avoids the 0-division NaN; unreachable at real training sizes)
+        gx = (2.0 * pts[..., 0] / (wl - 1) - 1.0) if wl > 1 \
+            else jnp.zeros_like(pts[..., 0])
+        gy = (2.0 * pts[..., 1] / (hl - 1) - 1.0) if hl > 1 \
+            else jnp.zeros_like(pts[..., 1])
         grid = jnp.stack([gx, gy], axis=-1)
         sampled = grid_sample(corr, grid)  # [BHW, win, win, 1]
         out.append(sampled.reshape(b, h, w, win * win))

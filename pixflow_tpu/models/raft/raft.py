@@ -65,10 +65,18 @@ class RAFT(nn.Module):
 
     @nn.compact
     def __call__(self, image1, image2, iters: int = 12,
-                 flow_init: Optional[jnp.ndarray] = None):
+                 flow_init: Optional[jnp.ndarray] = None,
+                 all_iters: bool = False):
         """image1, image2: [B, H, W, 3] in [0, 255] (uint8 or float).
         Returns (flow_low [B, H/8, W/8, 2], flow_up [B, H, W, 2]) — the
-        reference's test_mode output pair (`raft.py:159-160`)."""
+        reference's test_mode output pair (`raft.py:159-160`).
+
+        all_iters=True returns (flow_low, flow_ups [iters, B, H, W, 2]):
+        every refinement iteration's full-resolution prediction, the
+        training-mode output the gamma-weighted sequence loss consumes
+        (train/raft_trainer.py). Each iteration detaches coords1 exactly
+        like test mode, so gradients flow through one update step at a time
+        (the original RAFT training scheme)."""
         hdim, cdim = self.hidden_dim, self.context_dim
         corr_ch = self.corr_levels * (2 * self.corr_radius + 1) ** 2
 
@@ -104,7 +112,13 @@ class RAFT(nn.Module):
 
         # static refinement loop; re-calling the same named submodule shares
         # its parameters across iterations (the GRU weights are tied)
+        def _up(flow_low, up_mask):
+            if up_mask is None or self.small:
+                return upflow8(flow_low)
+            return convex_upsample_flow(flow_low, up_mask.astype(jnp.float32))
+
         up_mask = None
+        preds = []
         for _ in range(iters):
             coords1 = jax.lax.stop_gradient(coords1)
             corr = lookup_corr(pyramid, coords1, self.corr_radius)
@@ -112,14 +126,13 @@ class RAFT(nn.Module):
             net, up_mask, delta = update(net, inp, corr.astype(self.dtype),
                                          flow.astype(self.dtype))
             coords1 = coords1 + delta.astype(jnp.float32)
+            if all_iters:
+                preds.append(_up(coords1 - coords0, up_mask))
 
         flow_low = coords1 - coords0
-        if up_mask is None or self.small:
-            flow_up = upflow8(flow_low)
-        else:
-            flow_up = convex_upsample_flow(flow_low,
-                                           up_mask.astype(jnp.float32))
-        return flow_low, flow_up
+        if all_iters:
+            return flow_low, jnp.stack(preds, axis=0)
+        return flow_low, _up(flow_low, up_mask)
 
 
 def raft_batch_flows(model: RAFT, variables, frames: jnp.ndarray,

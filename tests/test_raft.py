@@ -213,3 +213,116 @@ def test_canonical_torch_keys_map_into_model():
         ks = jax.tree_util.keystr(k)
         assert ks in flat_model, f"{ks} not in model"
         assert flat_model[ks] == np.asarray(v).shape, f"shape mismatch at {ks}"
+
+
+# --------------------------------------------------------------------------
+# training: all-iteration outputs, sequence loss, one optimizer step
+# --------------------------------------------------------------------------
+
+def test_raft_all_iters_consistent_with_test_mode():
+    """all_iters=True returns every iteration's full-res prediction and its
+    last slice equals the test-mode flow_up (identical params/inputs)."""
+    model = RAFT(small=True)
+    b, H, W, iters = 1, 32, 48, 3
+    im1 = jnp.asarray(RNG.integers(0, 255, (b, H, W, 3)).astype(np.float32))
+    im2 = jnp.asarray(RNG.integers(0, 255, (b, H, W, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(1), im1, im2, iters=1)
+
+    low, preds = model.apply(variables, im1, im2, iters=iters, all_iters=True)
+    low2, up = model.apply(variables, im1, im2, iters=iters)
+    assert preds.shape == (iters, b, H, W, 2)
+    np.testing.assert_allclose(np.asarray(low), np.asarray(low2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(preds[-1]), np.asarray(up),
+                               atol=1e-5)
+
+
+def test_sequence_loss_math():
+    """Hand-checkable case: constant unit error at every iteration ->
+    loss = sum_i gamma^(N-1-i) * mean(valid); EPE = sqrt(2) on valid px."""
+    from pixflow_tpu.train.raft_trainer import sequence_loss
+    n, b, h, w = 3, 1, 4, 4
+    gt = jnp.zeros((b, h, w, 2))
+    preds = jnp.ones((n, b, h, w, 2))
+    valid = np.ones((b, h, w), np.float32)
+    valid[0, 0, 0] = 0.0  # one unsupervised pixel
+    loss, metrics = sequence_loss(preds, gt, jnp.asarray(valid), gamma=0.5)
+    frac = 15.0 / 16.0
+    expect = (0.25 + 0.5 + 1.0) * frac
+    np.testing.assert_allclose(float(loss), expect, rtol=1e-6)
+    np.testing.assert_allclose(float(metrics["epe"]), np.sqrt(2.0), rtol=1e-6)
+    assert float(metrics["1px"]) == 0.0
+    assert float(metrics["3px"]) == 1.0
+
+
+def test_sequence_loss_excludes_extreme_flow():
+    from pixflow_tpu.train.raft_trainer import sequence_loss
+    gt = jnp.full((1, 2, 2, 2), 500.0)  # beyond MAX_FLOW -> excluded
+    preds = jnp.zeros((2, 1, 2, 2, 2))
+    loss, metrics = sequence_loss(preds, gt, jnp.ones((1, 2, 2)))
+    assert float(loss) == 0.0
+    assert float(metrics["epe"]) == 0.0
+
+
+def test_raft_train_step_updates_params():
+    """One jitted fine-tuning step: finite loss/metrics, parameters move,
+    gradient actually flows through the unrolled GRU."""
+    from pixflow_tpu.train.raft_trainer import (make_raft_train_step,
+                                                raft_optimizer)
+    model = RAFT(small=True)
+    b, H, W = 2, 32, 48
+    img1 = np.asarray(RNG.integers(0, 255, (b, H, W, 3)), np.float32)
+    img2 = np.asarray(RNG.integers(0, 255, (b, H, W, 3)), np.float32)
+    batch = {
+        "img1": jnp.asarray(img1), "img2": jnp.asarray(img2),
+        "flow": jnp.asarray(RNG.standard_normal((b, H, W, 2)), jnp.float32),
+        "valid": jnp.ones((b, H, W), jnp.float32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["img1"],
+                           batch["img2"], iters=1)
+    params = variables["params"]
+    _, tx = raft_optimizer(1e-4, total_steps=10, weight_decay=1e-5)
+    step = make_raft_train_step(model, tx, iters=2, donate=False)
+    state = (params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["epe"]))
+    k0 = np.asarray(params["fnet"]["conv1"]["kernel"])
+    k1 = np.asarray(new_state[0]["fnet"]["conv1"]["kernel"])
+    assert np.abs(k1 - k0).max() > 0.0
+    assert int(new_state[2]) == 1
+
+
+@pytest.mark.slow
+def test_main_raft_cli_smoke(tmp_path):
+    """main_raft.py end-to-end on a synthetic FlyingChairs-style corpus:
+    two steps, metrics JSONL written, checkpoint saved."""
+    import subprocess, sys, os, json
+    from pixflow_tpu.data.flow_io import write_flo
+    from PIL import Image
+
+    root = tmp_path / "chairs"
+    (root / "data").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(1, 4):
+        for k in (1, 2):
+            Image.fromarray(rng.integers(0, 255, (64, 96, 3), np.uint8)).save(
+                str(root / "data" / f"{i:05d}_img{k}.ppm"))
+        write_flo(str(root / "data" / f"{i:05d}_flow.flo"),
+                  rng.standard_normal((64, 96, 2)).astype(np.float32))
+
+    out = tmp_path / "out"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "main_raft.py", "--stage", "chairs",
+         "--chairs-root", str(root), "--small", "--iters", "2",
+         "--crop-size", "32", "64", "--batch-size", "2", "--num-steps", "2",
+         "--lr", "1e-4", "--print-freq", "1", "--save-freq", "2",
+         "--output-dir", str(out)],
+        capture_output=True, text=True, timeout=3000,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = open(out / "raft_metrics.jsonl").read().splitlines()
+    rec = json.loads(lines[-1])
+    assert np.isfinite(rec["loss"]) and np.isfinite(rec["epe"])
+    assert (out / "raft_chairs_2.msgpack").exists()
