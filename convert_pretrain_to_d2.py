@@ -12,11 +12,15 @@ def main():
     p = argparse.ArgumentParser("export backbone to detectron2")
     p.add_argument("ckpt", help="published checkpoint (.msgpack)")
     p.add_argument("out", help="output .pkl for detectron2")
+    p.add_argument("--branch", choices=["online", "momentum"],
+                   default="online", help="export the online or EMA encoder")
     a = p.parse_args()
     pub = load_published(a.ckpt)
-    params = pub["params"].get("encoder", pub["params"])
-    stats = pub.get("batch_stats", {}).get("encoder",
-                                           pub.get("batch_stats", {}))
+    from pixflow_tpu.utils.checkpoint import select_branch
+    all_p, all_s = select_branch(pub["params"], pub.get("batch_stats", {}),
+                                 a.branch)
+    params = all_p.get("encoder", all_p)
+    stats = all_s.get("encoder", all_s)
     flax_resnet_to_d2(params, stats, a.out)
     print(a.out)
 

@@ -32,6 +32,9 @@ def parse_args():
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--start-epoch", type=int, default=1)
     p.add_argument("--pretrained-model", type=str, required=True)
+    p.add_argument("--pretrained-branch",
+                   choices=["online", "momentum"], default="online",
+                   help="probe the online or the EMA (momentum) encoder")
     p.add_argument("-e", "--eval", action="store_true")
     p.add_argument("--output-dir", type=str, default="./output")
     p.add_argument("--auto-resume", action="store_true")
@@ -72,13 +75,13 @@ def parse_args():
     cfg.runtime.seed = a.seed
     cfg.runtime.compute_dtype = a.compute_dtype
     cfg.runtime.mesh_shape = a.mesh_shape
-    return cfg, a.pretrained_model
+    return cfg, a.pretrained_model, a.pretrained_branch
 
 
 def main():
-    cfg, pretrained = parse_args()
+    cfg, pretrained, branch = parse_args()
     from pixflow_tpu.eval.driver import linear_eval
-    linear_eval(cfg, pretrained)
+    linear_eval(cfg, pretrained, branch)
 
 
 if __name__ == "__main__":

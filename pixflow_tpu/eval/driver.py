@@ -50,7 +50,8 @@ def evaluate(state, eval_step, loader, to_device):
     return {k: v / max(n, 1) for k, v in sums.items()}
 
 
-def linear_eval(cfg: LinearConfig, pretrained_path: str):
+def linear_eval(cfg: LinearConfig, pretrained_path: str,
+                pretrained_branch: str = "online"):
     logger = setup_logger(cfg.runtime.output_dir, jax.process_index(),
                           name="pixflow-linear")
     mesh_obj = make_data_mesh(cfg.runtime.mesh_shape)
@@ -79,10 +80,12 @@ def linear_eval(cfg: LinearConfig, pretrained_path: str):
 
     # graft the pretrained encoder
     pub = load_published(pretrained_path)
-    state = load_pretrained_encoder(state, pub["params"],
-                                    pub.get("batch_stats"))
-    logger.info("loaded pretrained encoder from %s (epoch %s)",
-                pretrained_path, pub.get("epoch"))
+    from ..utils.checkpoint import select_branch
+    pp, ps = select_branch(pub["params"], pub.get("batch_stats") or {},
+                           pretrained_branch)
+    state = load_pretrained_encoder(state, pp, ps)
+    logger.info("loaded pretrained %s encoder from %s (epoch %s)",
+                pretrained_branch, pretrained_path, pub.get("epoch"))
 
     # resume the probe itself (reference main_linear.py:78-107)
     start_epoch, best_acc1 = cfg.optim.start_epoch, 0.0

@@ -70,15 +70,41 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
     return max(cands, key=epoch_of)
 
 
-def publish_checkpoint(ckpt_path: str, out_path: str) -> str:
+def select_branch(params: dict, batch_stats: dict, branch: str = "online"):
+    """Pick which branch's weights downstream consumers see under the
+    online names: 'online' (the reference's choice — its publisher keeps
+    `encoder.`) or 'momentum' (the EMA twins `*_k`, often slightly stronger
+    for evaluation in BYOL-family methods). Returns (params, batch_stats)
+    with `encoder`/`projector`/... holding the selected branch."""
+    assert branch in ("online", "momentum")
+    if branch == "online":
+        return params, batch_stats
+
+    def swap(tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = dict(tree)
+        for name in list(out):
+            if name.endswith("_k") and name[:-2] in out:
+                out[name[:-2]] = out[name]
+        return out
+
+    return swap(params), swap(batch_stats)
+
+
+def publish_checkpoint(ckpt_path: str, out_path: str,
+                       branch: str = "online") -> str:
     """Strip optimizer/schedule state, keep only model params + batch stats,
-    and add the content hash to the filename (reference `publish_model.py`)."""
+    and add the content hash to the filename (reference `publish_model.py`).
+    `branch='momentum'` publishes the EMA encoder under the online names."""
     with open(ckpt_path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     state = serialization.msgpack_restore(payload["state"])
+    params, stats = select_branch(state["params"],
+                                  state.get("batch_stats", {}), branch)
     published = {
-        "params": state["params"],
-        "batch_stats": state.get("batch_stats", {}),
+        "params": params,
+        "batch_stats": stats,
         "epoch": payload["epoch"],
         "config": payload.get("config", ""),
     }

@@ -11,8 +11,13 @@ def main():
     p = argparse.ArgumentParser("publish a pretrained checkpoint")
     p.add_argument("ckpt", help="input ckpt_epoch_N.msgpack / current.msgpack")
     p.add_argument("out", help="output path (hash suffix is appended)")
+    p.add_argument("--branch", choices=["online", "momentum"],
+                   default="online",
+                   help="which encoder to publish under the online names: "
+                        "the online branch (reference behavior) or the EMA "
+                        "momentum branch")
     a = p.parse_args()
-    final = publish_checkpoint(a.ckpt, a.out)
+    final = publish_checkpoint(a.ckpt, a.out, branch=a.branch)
     print(final)
 
 

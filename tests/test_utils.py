@@ -223,3 +223,39 @@ def test_metrics_writer_jsonl_and_artifacts(tmp_path):
     assert _json.loads(lines[0]) == {"step": 3, "loss": -1.5, "lr": 0.1}
     assert run.logged[0][0] == 3
     assert "config.json" in run.saved and "metrics.jsonl" in run.saved
+
+
+def test_select_branch_momentum_swaps_ema_subtrees():
+    from pixflow_tpu.utils.checkpoint import select_branch
+    params = {"encoder": {"w": jnp.zeros(2)}, "encoder_k": {"w": jnp.ones(2)},
+              "projector": {"w": jnp.zeros(1)},
+              "projector_k": {"w": jnp.full((1,), 2.0)},
+              "predictor": {"w": jnp.full((1,), 3.0)}}
+    stats = {"encoder": {"m": jnp.zeros(2)}, "encoder_k": {"m": jnp.ones(2)}}
+    p_on, s_on = select_branch(params, stats, "online")
+    assert p_on is params and s_on is stats
+    p_m, s_m = select_branch(params, stats, "momentum")
+    np.testing.assert_array_equal(np.asarray(p_m["encoder"]["w"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(p_m["projector"]["w"]), 2.0)
+    np.testing.assert_array_equal(np.asarray(p_m["predictor"]["w"]), 3.0)
+    np.testing.assert_array_equal(np.asarray(s_m["encoder"]["m"]), 1.0)
+    # originals untouched
+    np.testing.assert_array_equal(np.asarray(params["encoder"]["w"]), 0.0)
+
+
+def test_publish_momentum_branch(tmp_path):
+    st = TrainState(
+        step=jnp.asarray(1, jnp.int32), ema_k=jnp.asarray(1, jnp.int32),
+        params={"encoder": {"w": jnp.zeros(3)},
+                "encoder_k": {"w": jnp.full((3,), 5.0)}},
+        batch_stats={"encoder": {"mean": jnp.zeros(3)},
+                     "encoder_k": {"mean": jnp.full((3,), 7.0)}},
+        opt_state={})
+    path = save_checkpoint(str(tmp_path), 2, st)
+    out = publish_checkpoint(path, str(tmp_path / "ema.msgpack"),
+                             branch="momentum")
+    pub = load_published(out)
+    np.testing.assert_array_equal(np.asarray(pub["params"]["encoder"]["w"]),
+                                  5.0)
+    np.testing.assert_array_equal(
+        np.asarray(pub["batch_stats"]["encoder"]["mean"]), 7.0)

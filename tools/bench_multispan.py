@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Multi-span (`use_flow_frames`) cost measurement.
+
+At n_frames=6 the multi-span loss unrolls S = K(K+1)/2 = 15 window pair
+losses over per-frame crop stacks (F=5 crops per view), so one "sample"
+carries 10 encoder images instead of 2. This tool measures what that costs
+on the real train step: compile time, device-memory footprint, compiled
+FLOPs, and steady-state samples/sec — the numbers VERDICT round 1 asked for
+(multi_span telemetry follow-up).
+
+Usage: python tools/bench_multispan.py  (env: MS_BATCH, MS_FRAMES, MS_STEPS)
+Prints one JSON line per configuration (multi-span and, for reference, the
+standard two-crop step at the same batch).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _coords(b, f=None):
+    rng = np.random.default_rng(0)
+    shape = (b, 10) if f is None else (b, f, 10)
+    out = np.zeros(shape, np.float32)
+    flat = out.reshape(-1, 10)
+    for i in range(flat.shape[0]):
+        j, ii, w, h = (int(rng.integers(0, 600)), int(rng.integers(0, 300)),
+                       int(rng.integers(200, 640)), int(rng.integers(150, 400)))
+        flat[i] = [j / 1279, ii / 719, (j + w - 1) / 1279, (ii + h - 1) / 719,
+                   j, ii, w, h, 1280, 720]
+    return out
+
+
+def measure(multi_span: bool, batch_size: int, n_frames: int, n_steps: int):
+    import jax
+    import jax.numpy as jnp
+
+    from pixflow_tpu.models import PixPro
+    from pixflow_tpu.train import (create_train_state, lars_sgd,
+                                   frozen_momentum_branch_mask, warmup_cosine,
+                                   make_train_step)
+
+    b, hw = batch_size, 224
+    k = n_frames - 1
+    fh, fw = 90, 160
+    rng = np.random.default_rng(1)
+
+    def img(*shape):
+        return jnp.asarray(rng.integers(0, 255, shape + (hw, hw, 3)),
+                           jnp.uint8)
+
+    batch = {
+        "flows_fwd": jnp.asarray(
+            2 * rng.standard_normal((b, k, fh, fw, 2)).astype(np.float32)),
+        "flows_bwd": jnp.asarray(
+            2 * rng.standard_normal((b, k, fh, fw, 2)).astype(np.float32)),
+    }
+    if multi_span:
+        batch.update(
+            ims1=img(b, k), ims2=img(b, k),
+            coords1=jnp.asarray(_coords(b, k)),
+            coords2=jnp.asarray(_coords(b, k)),
+            n_frames_eff=jnp.full((b,), n_frames, jnp.float32))
+    else:
+        batch.update(im1=img(b), im2=img(b),
+                     coord1=jnp.asarray(_coords(b)),
+                     coord2=jnp.asarray(_coords(b)))
+
+    model = PixPro(arch="resnet50", pixpro_p=2.0, pixpro_transform_layer=1,
+                   pixpro_pos_ratio=0.7, dtype=jnp.bfloat16,
+                   fuse_views=not multi_span)
+    lr = warmup_cosine(1.0, epochs=100, warmup_epoch=5, steps_per_epoch=68)
+    tx0 = lars_sgd(lr, weight_decay=1e-5)
+    state = create_train_state(
+        jax.random.PRNGKey(0), model, tx0,
+        {"im1": jnp.zeros((1, hw, hw, 3), jnp.float32)})
+    tx = lars_sgd(lr, weight_decay=1e-5,
+                  frozen_mask=frozen_momentum_branch_mask(state.params))
+    state = state.replace(opt_state=tx.init(state.params))
+
+    step = make_train_step(model, tx, lr_schedule=lr,
+                           ema_total_steps=100 * 68, ema_base_momentum=0.99,
+                           use_flow=True, flow_up=True,
+                           use_flow_frames=multi_span,
+                           alpha1=0.01, alpha2=0.5, donate=False)
+
+    t0 = time.perf_counter()
+    lowered = step.lower(state, batch)
+    compiled = lowered.compile()
+    compile_s = time.perf_counter() - t0
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    mem = compiled.memory_analysis()
+
+    state2, metrics = step(state, batch)
+    float(metrics["loss"])  # sync (axon: scalar fetch is the only barrier)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state2, metrics = step(state2, batch)
+        float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+
+    print(json.dumps({
+        "metric": ("multispan" if multi_span else "standard")
+        + "_samples_per_sec",
+        "value": round(b / dt, 2),
+        "unit": "samples/sec/chip",
+        "step_ms": round(1000 * dt, 1),
+        "compile_s": round(compile_s, 1),
+        "flops_per_step": float(ca.get("flops", 0.0)),
+        "device_memory_mb": round(
+            (mem.temp_size_in_bytes + mem.argument_size_in_bytes
+             + mem.output_size_in_bytes) / 1e6)
+        if mem is not None else None,
+        "batch": b, "n_frames": n_frames,
+        "pair_losses": (n_frames - 1) * n_frames // 2 if multi_span else 2,
+        "encoder_images_per_sample": 2 * (n_frames - 1) if multi_span else 2,
+    }))
+
+
+def main():
+    b = int(os.environ.get("MS_BATCH", "8"))
+    n_frames = int(os.environ.get("MS_FRAMES", "6"))
+    n_steps = int(os.environ.get("MS_STEPS", "5"))
+    from pixflow_tpu.parallel.mesh import enable_compilation_cache
+    enable_compilation_cache()
+    measure(True, b, n_frames, n_steps)
+    measure(False, b, n_frames, n_steps)
+
+
+if __name__ == "__main__":
+    main()
