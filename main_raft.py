@@ -48,6 +48,11 @@ def parse_args():
     p.add_argument("--save-freq", type=int, default=5000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--validate", default="",
+                   choices=["", "chairs", "sintel", "kitti"],
+                   help="run benchmark validation after every save and at "
+                        "the end (original evaluate.py counterpart)")
+    p.add_argument("--val-max-samples", type=int, default=None)
     return p.parse_args()
 
 
@@ -75,9 +80,12 @@ def main():
     roots = {"chairs": a.chairs_root, "things": a.things_root,
              "sintel": a.sintel_root, "kitti": a.kitti_root,
              "hd1k": a.hd1k_root}
-    dataset = fetch_stage_dataset(a.stage, roots, crop)
-    assert len(dataset) > 0, f"no samples for stage {a.stage} under {roots}"
-    print(f"training with {len(dataset)} image pairs, crop {crop}")
+    dataset = None
+    if a.num_steps > 0:
+        dataset = fetch_stage_dataset(a.stage, roots, crop)
+        assert len(dataset) > 0, \
+            f"no samples for stage {a.stage} under {roots}"
+        print(f"training with {len(dataset)} image pairs, crop {crop}")
 
     n_dev = len(jax.devices())
     mesh = make_data_mesh(n_dev) if n_dev > 1 else None
@@ -117,7 +125,22 @@ def main():
             out["valid"].append(va)
         return {k: np.stack(v).astype(np.float32) for k, v in out.items()}
 
+    def run_validation(params_now, step):
+        if not a.validate:
+            return
+        from pixflow_tpu.eval.flow_eval import validate_stage
+        m = validate_stage(model, {"params": params_now}, a.validate, roots,
+                           max_samples=a.val_max_samples)
+        m = {k: float(v) for k, v in m.items()}
+        m.update(step=step, split=a.validate)
+        print("validation", json.dumps(m))
+        with open(os.path.join(a.output_dir, "raft_val.jsonl"), "a") as f:
+            f.write(json.dumps(m) + "\n")
+
     metrics_path = os.path.join(a.output_dir, "raft_metrics.jsonl")
+    if a.num_steps <= 0:  # validation-only mode
+        run_validation(state[0], 0)
+        return
     t0 = time.time()
     for step in range(1, a.num_steps + 1):
         state, metrics = step_fn(state, sample_batch(step))
@@ -134,6 +157,7 @@ def main():
             with open(path, "wb") as f:
                 f.write(serialization.to_bytes(state[0]))
             print(f"saved {path}")
+            run_validation(state[0], step)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,88 @@
+"""Optical-flow validation: EPE / Fl metrics on the standard benchmarks.
+
+TPU counterpart of the original RAFT `evaluate.py` (which the reference used
+out-of-tree to qualify its frozen flow checkpoints): full-resolution
+inference with InputPadder, per-dataset metrics — Chairs/Sintel EPE,
+KITTI EPE + Fl-all (the outlier rate: epe > 3px and epe/mag > 5%).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def validate_dataset(model, variables, dataset, iters: int = 24,
+                     mode: str = "sintel", sparse: bool = False,
+                     max_samples: Optional[int] = None) -> Dict[str, float]:
+    """EPE metrics over a FlowDataset (no augmentor). For sparse datasets
+    (KITTI-style valid masks) also reports Fl-all."""
+    import jax
+    import jax.numpy as jnp
+    from ..models.raft.utils import InputPadder
+
+    @jax.jit  # one compile per padded shape (uniform within a benchmark)
+    def flow_fn(i1, i2):
+        return model.apply(variables, i1, i2, iters=iters)[1]
+
+    def pair_flow(img1, img2):
+        padder = InputPadder(img1.shape[:2], mode=mode)
+        i1, i2 = padder.pad(jnp.asarray(img1[None], jnp.float32),
+                            jnp.asarray(img2[None], jnp.float32))
+        return np.asarray(padder.unpad(flow_fn(i1, i2)[0]))
+
+    epes, fls = [], []
+    n = len(dataset) if max_samples is None else min(len(dataset),
+                                                     max_samples)
+    for i in range(n):
+        img1, img2, flow_gt, valid = dataset.__getitem__(i)
+        flow = pair_flow(img1, img2)
+        epe_map = np.sqrt(np.sum((flow - flow_gt) ** 2, axis=-1))
+        v = np.asarray(valid) >= 0.5
+        if sparse:
+            mag = np.sqrt(np.sum(flow_gt ** 2, axis=-1))
+            epe_v = epe_map[v]
+            mag_v = np.maximum(mag[v], 1e-9)
+            fls.append(((epe_v > 3.0) & (epe_v / mag_v > 0.05)).astype(
+                np.float64))
+            epes.append(epe_v)
+        else:
+            epes.append(epe_map[v].ravel())
+    all_epe = np.concatenate(epes) if epes else np.zeros(1)
+    out = {
+        "epe": float(np.mean(all_epe)),
+        "1px": float(np.mean(all_epe < 1.0)),
+        "3px": float(np.mean(all_epe < 3.0)),
+        "5px": float(np.mean(all_epe < 5.0)),
+        "n_samples": float(n),
+    }
+    if fls:
+        out["fl_all"] = float(100.0 * np.mean(np.concatenate(fls)))
+    return out
+
+
+def validate_stage(model, variables, stage: str, roots: dict,
+                   iters: Optional[int] = None,
+                   max_samples: Optional[int] = None) -> Dict[str, float]:
+    """Validation split + conventional iteration counts per benchmark."""
+    from ..data.raft_datasets import flying_chairs, kitti, sintel
+
+    if stage == "chairs":
+        ds = flying_chairs(roots["chairs"])
+        return validate_dataset(model, variables, ds, iters or 24,
+                                mode="sintel", max_samples=max_samples)
+    if stage == "sintel":
+        out = {}
+        for dstype in ("clean", "final"):
+            ds = sintel(roots["sintel"], split="training", dstype=dstype)
+            m = validate_dataset(model, variables, ds, iters or 32,
+                                 mode="sintel", max_samples=max_samples)
+            out.update({f"{dstype}_{k}": v for k, v in m.items()})
+        return out
+    if stage == "kitti":
+        ds = kitti(roots["kitti"], split="training")
+        return validate_dataset(model, variables, ds, iters or 24,
+                                mode="kitti", sparse=True,
+                                max_samples=max_samples)
+    raise NotImplementedError(stage)

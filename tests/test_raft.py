@@ -326,3 +326,63 @@ def test_main_raft_cli_smoke(tmp_path):
     rec = json.loads(lines[-1])
     assert np.isfinite(rec["loss"]) and np.isfinite(rec["epe"])
     assert (out / "raft_chairs_2.msgpack").exists()
+
+
+def test_validate_dataset_metrics_math():
+    """Metric math with a stub predictor: constant-offset error -> exact
+    EPE/px-rate/Fl values (original evaluate.py definitions)."""
+    from pixflow_tpu.eval.flow_eval import validate_dataset
+
+    class StubModel:
+        def apply(self, variables, i1, i2, iters=0):
+            z = jnp.zeros(i1.shape[:3] + (2,), jnp.float32)
+            return z, z  # predicts zero flow at full res
+
+    class StubDataset:
+        def __len__(self):
+            return 2
+        def __getitem__(self, i):
+            img = np.zeros((16, 24, 3), np.float32)
+            flow = np.full((16, 24, 2), 0.0, np.float32)
+            flow[..., 0] = 1.0  # gt = (1, 0) everywhere -> epe 1.0
+            return img, img, flow, np.ones((16, 24), np.float32)
+
+    m = validate_dataset(StubModel(), {}, StubDataset(), iters=1)
+    np.testing.assert_allclose(m["epe"], 1.0, rtol=1e-6)
+    assert m["1px"] == 0.0 and m["3px"] == 1.0 and m["n_samples"] == 2.0
+
+    class SparseDataset(StubDataset):
+        def __getitem__(self, i):
+            img = np.zeros((16, 24, 3), np.float32)
+            flow = np.zeros((16, 24, 2), np.float32)
+            flow[..., 0], flow[..., 1] = 4.0, 3.0  # mag 5, epe 5 -> outlier
+            valid = np.zeros((16, 24), np.float32)
+            valid[:8] = 1.0
+            return img, img, flow, valid
+
+    m = validate_dataset(StubModel(), {}, SparseDataset(), iters=1,
+                         sparse=True)
+    np.testing.assert_allclose(m["epe"], 5.0, rtol=1e-6)
+    np.testing.assert_allclose(m["fl_all"], 100.0, rtol=1e-6)
+
+
+def test_validate_dataset_real_raft_padding():
+    """End-to-end through a real (tiny) RAFT with non-multiple-of-8 frames:
+    InputPadder pad/unpad preserves the gt resolution."""
+    from pixflow_tpu.eval.flow_eval import validate_dataset
+    model = RAFT(small=True)
+    h, w = 20, 28  # deliberately not /8
+    im = jnp.zeros((1, 24, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), im, im, iters=1)
+
+    class OnePair:
+        def __len__(self):
+            return 1
+        def __getitem__(self, i):
+            rng = np.random.default_rng(4)
+            img = np.asarray(rng.integers(0, 255, (h, w, 3)), np.float32)
+            return (img, img, np.zeros((h, w, 2), np.float32),
+                    np.ones((h, w), np.float32))
+
+    m = validate_dataset(model, variables, OnePair(), iters=2)
+    assert np.isfinite(m["epe"])
