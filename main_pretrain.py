@@ -36,6 +36,11 @@ def parse_args() -> PretrainConfig:
     p.add_argument("--ann-file", type=str, default="")
     p.add_argument("--image-size", nargs="+", type=int, default=[224])
     p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--decode-scale", type=int, default=1,
+                   choices=[1, 2, 4, 8],
+                   help="JPEG draft decode downscale: cheaper host "
+                        "decode, identical pair geometry (see "
+                        "data/datasets.py:load_image)")
     p.add_argument("--worker-mode", type=str, default="thread",
                    choices=["thread", "process"],
                    help="decode workers: in-process threads or "
@@ -141,6 +146,7 @@ def parse_args() -> PretrainConfig:
         ("dataset", d, "dataset"), ("ann_file", d, "ann_file"),
         ("num_workers", d, "num_workers"), ("n_frames", d, "n_frames"),
         ("worker_mode", d, "worker_mode"),
+        ("decode_scale", d, "decode_scale"),
         ("batch_size", d, "batch_size"),
         ("flow_model", f, "flow_model"), ("alpha1", f, "alpha1"),
         ("alpha2", f, "alpha2"), ("flow_bs", f, "flow_bs"),

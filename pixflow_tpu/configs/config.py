@@ -27,6 +27,9 @@ class DataConfig:
     image_size: int = 224
     n_frames: int = 1
     num_workers: int = 4
+    # JPEG DCT-domain decode downscale (1 = full fidelity;
+    # 2 = ~4x cheaper host decode, same pair geometry)
+    decode_scale: int = 1
     # 'thread' (in-process pool) or 'process' (forked decode
     # workers, the reference DataLoader model; GIL-free)
     worker_mode: str = "thread"

@@ -99,13 +99,23 @@ def list_coco_annotations(ann_file: str, img_prefix: str = ""):
     return [(os.path.join(img_prefix, im["file_name"]), 0) for im in images]
 
 
-def load_image(path) -> Image.Image:
+def load_image(path, decode_scale: int = 1) -> Image.Image:
+    """decode_scale: JPEG DCT-domain downscale at decode time (PIL draft;
+    power of 2). The crop-coordinate contract is scale-consistent — the
+    10-vector's (W, H) columns describe whatever raster the transform saw,
+    and the loss normalizes bin centers/diagonals and flow-sampling
+    coordinates by that same size (ops/loss.py) — so scale-2 decode yields
+    the same positive-pair geometry at ~4x less host decode cost, trading
+    only crop pixel fidelity. Opt-in (DataConfig.decode_scale)."""
     if isinstance(path, bytes):
         img = Image.open(io.BytesIO(path))
     elif zipreader.is_zip_path(path):
         img = Image.open(io.BytesIO(zipreader.read_bytes(path)))
     else:
         img = Image.open(path)
+    if decode_scale > 1:
+        img.draft("RGB", (img.size[0] // decode_scale,
+                          img.size[1] // decode_scale))
     return img.convert("RGB")
 
 
@@ -156,6 +166,7 @@ class VideoFrameDataset:
     raw_frame_size: Optional[Tuple[int, int]] = None  # (H, W) resize for RAFT
     use_flow_frames: bool = False          # per-frame crop stacks (multi-span)
     flow_dtype: str = "float32"            # 'float16' halves transfer bytes
+    decode_scale: int = 1                  # JPEG draft decode (1/2/4/8)
 
     def __post_init__(self):
         self.use_flow_file = bool(self.flow_fwd_root) and bool(self.flow_bwd_root)
@@ -200,8 +211,8 @@ class VideoFrameDataset:
     def _load(self, path):
         cache = getattr(self, "_byte_cache", None)
         if cache is not None and path in cache:
-            return load_image(cache[path])
-        return load_image(path)
+            return load_image(cache[path], self.decode_scale)
+        return load_image(path, self.decode_scale)
 
     def __len__(self):
         return len(self.samples)

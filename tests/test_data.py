@@ -236,3 +236,17 @@ def test_frame_stats_definition():
 def test_normalization_constants():
     np.testing.assert_allclose(IMAGENET_MEAN, [0.485, 0.456, 0.406])
     np.testing.assert_allclose(IMAGENET_STD, [0.229, 0.224, 0.225])
+
+
+def test_load_image_decode_scale(tmp_path):
+    from PIL import Image as PILImage
+    from pixflow_tpu.data.datasets import load_image
+    rng = np.random.default_rng(0)
+    p = str(tmp_path / "f.jpg")
+    PILImage.fromarray(rng.integers(0, 255, (64, 96, 3), np.uint8)).save(p)
+    assert load_image(p).size == (96, 64)
+    assert load_image(p, decode_scale=2).size == (48, 32)
+    # non-JPEG formats ignore draft (PNG has no DCT scale)
+    p2 = str(tmp_path / "f.png")
+    PILImage.fromarray(rng.integers(0, 255, (64, 96, 3), np.uint8)).save(p2)
+    assert load_image(p2, decode_scale=2).size == (96, 64)

@@ -219,3 +219,35 @@ def test_instance_loss_aligned_vectors():
     np.testing.assert_allclose(float(instance_loss(jnp.asarray(x),
                                                    jnp.asarray(x))),
                                -2.0, atol=1e-5)
+
+
+def test_pair_geometry_scale_invariance():
+    """The positive-pair mask is identical whether the crop coordinates are
+    expressed against the full-resolution raster or a uniformly downscaled
+    one (decode_scale): bin centers, diagonals, and flow displacements all
+    scale together. This is what makes JPEG draft decode geometry-exact."""
+    from pixflow_tpu.ops.loss import pair_loss_geometry
+    rng = np.random.default_rng(8)
+    b, h, w = 3, 7, 7
+    flow = jnp.asarray(4 * rng.standard_normal((b, 90, 160, 2)), jnp.float32)
+
+    def coords(scale):
+        out = np.zeros((b, 10), np.float32)
+        W, H = 1280 // scale, 720 // scale
+        for i in range(b):
+            j, ii = 100 // scale * (i + 1), 50 // scale * (i + 1)
+            cw, ch = 400 // scale, 300 // scale
+            out[i] = [j / (W - 1), ii / (H - 1), (j + cw - 1) / (W - 1),
+                      (ii + ch - 1) / (H - 1), j, ii, cw, ch, W, H]
+        return jnp.asarray(out)
+
+    g1 = pair_loss_geometry(coords(1), coords(1), (h, w), 0.7, flow=flow)
+    g2 = pair_loss_geometry(coords(2), coords(2), (h, w), 0.7, flow=flow)
+    # masks agree except at the pos_ratio decision boundary: the (W-1)
+    # half-pixel normalization shifts borderline distances by O(1/W), so a
+    # small fraction of threshold-straddling pairs flips (~0.25% here)
+    agree = np.mean(np.asarray(g1["pos"]) == np.asarray(g2["pos"]))
+    assert agree > 0.99, agree
+    # warped centers scale by exactly 2 (up to the (W-1) half-pixel term)
+    np.testing.assert_allclose(np.asarray(g1["q_x"]) / 2.0,
+                               np.asarray(g2["q_x"]), rtol=0.02, atol=0.5)
