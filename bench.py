@@ -48,6 +48,7 @@ def main():
     per_chip_batch = int(os.environ.get("BENCH_BATCH", "64"))
     flow_up = os.environ.get("BENCH_FLOW_UP", "1") == "1"
     fuse_views = os.environ.get("BENCH_FUSE", "1") == "1"
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
     n_scan = int(os.environ.get("BENCH_SCAN_STEPS", "10"))
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
 
@@ -75,7 +76,7 @@ def main():
 
     model = PixPro(arch="resnet50", pixpro_p=2.0, pixpro_transform_layer=1,
                    pixpro_pos_ratio=0.7, dtype=jnp.bfloat16,
-                   fuse_views=fuse_views)
+                   fuse_views=fuse_views, remat=remat)
 
     lr = warmup_cosine(4.0, epochs=2000, warmup_epoch=5, steps_per_epoch=68)
     tx0 = lars_sgd(lr, weight_decay=1e-5)

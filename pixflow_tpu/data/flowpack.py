@@ -12,7 +12,7 @@ import ctypes
 import os
 import struct
 import subprocess
-from typing import Dict, Iterable, Optional, Tuple
+from typing import Iterable, Tuple
 
 import numpy as np
 

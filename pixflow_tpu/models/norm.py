@@ -29,7 +29,6 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax

@@ -94,12 +94,15 @@ class PixPro(nn.Module):
     # use the fused Pallas pair-similarity kernel (TPU only; exact value and
     # gradient parity with the XLA composition is test-asserted)
     use_fused_pair_loss: bool = False
+    # rematerialize encoder residual blocks in backward (larger batches)
+    remat: bool = False
 
     def setup(self):
         common = dict(dtype=self.dtype, axis_name=self.axis_name,
                       bn_momentum=self.bn_momentum,
                       view_groups=2 if self.fuse_views else 1)
-        enc = lambda: make_resnet(self.arch, head_type="early_return", **common)
+        enc = lambda: make_resnet(self.arch, head_type="early_return",
+                                  remat=self.remat, **common)
         head = lambda: MLP2d(self.proj_inner_dim, self.proj_out_dim, **common)
 
         self.encoder = enc()

@@ -10,7 +10,7 @@ the planned equivalent."""
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import jax.numpy as jnp
 from flax import linen as nn

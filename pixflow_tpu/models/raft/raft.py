@@ -10,7 +10,6 @@ small. Inference-only here: pretraining uses it as a frozen flow oracle
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Optional
 
 import jax

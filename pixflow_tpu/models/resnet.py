@@ -167,6 +167,10 @@ class ResNet(nn.Module):
     axis_name: Optional[str] = None
     bn_momentum: float = 0.9
     view_groups: int = 1
+    # rematerialize each residual block in the backward pass: trades ~30%
+    # extra forward FLOPs for a much smaller live-activation footprint,
+    # unlocking larger per-chip batches (docs/PERF.md)
+    remat: bool = False
 
     @property
     def feature_dim(self) -> int:
@@ -202,6 +206,8 @@ class ResNet(nn.Module):
 
         # stages
         block_cls = Bottleneck if self.block == "bottleneck" else BasicBlock
+        if self.remat:
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         stage_planes = (base, base * 2, base * 4, base * 8)
         stage_strides = (1, 2, 2, 2 if self.layer4_dilation == 1 else 1)
         stage_dilations = (1, 1, 1, self.layer4_dilation)

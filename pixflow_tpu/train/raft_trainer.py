@@ -13,8 +13,6 @@ weight decay 1e-4/1e-5, one-cycle schedule, clip-norm 1.0).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import optax

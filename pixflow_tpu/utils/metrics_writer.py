@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Optional
-
 
 class MetricsWriter:
     def __init__(self, output_dir: str, use_tensorboard: bool = True,
