@@ -386,3 +386,33 @@ def test_validate_dataset_real_raft_padding():
 
     m = validate_dataset(model, variables, OnePair(), iters=2)
     assert np.isfinite(m["epe"])
+
+
+def test_lookup_corr_mxu_matches_gather():
+    """The separable tent-matmul lookup is numerically the gather lookup
+    (same zeros-padded bilinear taps), including out-of-range windows."""
+    from pixflow_tpu.models.raft.corr import (lookup_corr_gather,
+                                              lookup_corr_mxu)
+    b, h, w, c = 2, 6, 9, 8
+    f1 = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+    f2 = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+    pyr = build_corr_pyramid(f1, f2, 3)
+    # coords wandering well outside the field to exercise zero padding
+    coords = jnp.asarray(
+        RNG.uniform(-4, 12, (b, h, w, 2)).astype(np.float32))
+    a = lookup_corr_gather(pyr, coords, radius=3)
+    m = lookup_corr_mxu(pyr, coords, radius=3)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(a),
+                               rtol=1e-4, atol=1e-5)
+
+    # gradients agree too (the lookup sits inside the training loss)
+    def s_gather(f):
+        return jnp.sum(lookup_corr_gather(build_corr_pyramid(f, f2, 3),
+                                          coords, 3) ** 2)
+    def s_mxu(f):
+        return jnp.sum(lookup_corr_mxu(build_corr_pyramid(f, f2, 3),
+                                       coords, 3) ** 2)
+    ga = jax.grad(s_gather)(f1)
+    gm = jax.grad(s_mxu)(f1)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(ga),
+                               rtol=2e-3, atol=2e-4)
