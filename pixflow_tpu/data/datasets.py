@@ -240,7 +240,17 @@ class VideoFrameDataset:
         else:
             frames, start, eff = [self.samples[index]], 0, 1
 
-        imgs = [self._load(p) for p, _ in frames]
+        # the standard two-crop path only crops the window's FIRST and LAST
+        # frames — don't pay JPEG decode for the interior ones (3x fewer
+        # decodes at n_frames=6). Multi-span and live-RAFT need every frame.
+        need_all = self.load_raw_frames or (
+            self.use_flow_frames and self.two_crop and self.n_frames > 2)
+        if need_all or len(frames) <= 2:
+            imgs = [self._load(p) for p, _ in frames]
+        else:
+            first = self._load(frames[0][0])
+            last = self._load(frames[-1][0])
+            imgs = [first] + [None] * (len(frames) - 2) + [last]
         target = frames[0][1]
         t1, t2 = self._transforms()
 
