@@ -29,6 +29,18 @@ from .state import create_train_state
 from .train_step import make_train_step
 
 
+def _peak_memory_mb():
+    """Peak bytes in use on device 0, if the backend exposes memory_stats
+    (TPU/GPU do; CPU returns None)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            return stats["peak_bytes_in_use"] / 1e6
+    except Exception:
+        pass
+    return None
+
+
 def build_model(cfg: PretrainConfig, axis_name: Optional[str]) -> PixPro:
     dtype = jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jnp.float32
     multi_span = (cfg.flow.use_flow_frames and cfg.flow.use_flow
@@ -230,6 +242,11 @@ def train(cfg: PretrainConfig):
                     from ..data.datasets import frame_stats
                     mean_f, no_flow_r, _ = frame_stats(n_eff, cfg.data.n_frames)
                     extra += f" frames {mean_f:.2f} (no-flow {no_flow_r:.1%})"
+                # peak device memory, the reference's max_memory_allocated
+                # log field (`main_pretrain.py:290-292`)
+                mem_mb = _peak_memory_mb()
+                if mem_mb is not None:
+                    extra += f" mem {mem_mb:.0f}MB"
                 logger.info(
                     "Train: [%d/%d][%d/%d] time %.3f lr %.4f "
                     "loss %.4f (%.4f) [+4: %.4f] pos_num %.4g pos_mean %.3f%s",
@@ -241,6 +258,8 @@ def train(cfg: PretrainConfig):
                     scalars = dict(metrics)
                     scalars["loss_plus4"] = metrics["loss"] + 4.0
                     scalars["epoch"] = epoch
+                    if mem_mb is not None:
+                        scalars["peak_memory_mb"] = mem_mb
                     if n_eff is not None:
                         scalars["mean_n_frames"] = mean_f
                         scalars["no_optical_flow_ratio"] = no_flow_r
