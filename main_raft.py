@@ -53,6 +53,10 @@ def parse_args():
                    help="run benchmark validation after every save and at "
                         "the end (original evaluate.py counterpart)")
     p.add_argument("--val-max-samples", type=int, default=None)
+    p.add_argument("--submit", default="", choices=["", "sintel", "kitti"],
+                   help="write benchmark test-set submission files "
+                        "(original evaluate.py create_*_submission) and exit")
+    p.add_argument("--submit-out", default="", help="submission output dir")
     return p.parse_args()
 
 
@@ -81,7 +85,7 @@ def main():
              "sintel": a.sintel_root, "kitti": a.kitti_root,
              "hd1k": a.hd1k_root}
     dataset = None
-    if a.num_steps > 0:
+    if a.num_steps > 0 and not a.submit:
         dataset = fetch_stage_dataset(a.stage, roots, crop)
         assert len(dataset) > 0, \
             f"no samples for stage {a.stage} under {roots}"
@@ -136,6 +140,20 @@ def main():
         print("validation", json.dumps(m))
         with open(os.path.join(a.output_dir, "raft_val.jsonl"), "a") as f:
             f.write(json.dumps(m) + "\n")
+
+    if a.submit:
+        from pixflow_tpu.eval.flow_eval import (create_kitti_submission,
+                                                create_sintel_submission)
+        out = a.submit_out or os.path.join(a.output_dir,
+                                           f"{a.submit}_submission")
+        if a.submit == "sintel":
+            create_sintel_submission(model, {"params": state[0]},
+                                     roots["sintel"], out)
+        else:
+            create_kitti_submission(model, {"params": state[0]},
+                                    roots["kitti"], out)
+        print(f"wrote {a.submit} submission to {out}")
+        return
 
     metrics_path = os.path.join(a.output_dir, "raft_metrics.jsonl")
     if a.num_steps <= 0:  # validation-only mode

@@ -62,6 +62,88 @@ def validate_dataset(model, variables, dataset, iters: int = 24,
     return out
 
 
+def _make_flow_fn(model, variables, iters: int):
+    import jax
+
+    @jax.jit
+    def flow_fn(i1, i2, flow_init):
+        return model.apply(variables, i1, i2, iters=iters,
+                           flow_init=flow_init)
+
+    return flow_fn
+
+
+def create_sintel_submission(model, variables, root: str, out_dir: str,
+                             iters: int = 32, warm_start: bool = True):
+    """Write MPI-Sintel test-set .flo files for upload (counterpart of the
+    original RAFT `evaluate.create_sintel_submission`): per scene, frames in
+    order, optionally warm-starting each pair from the forward-splat of the
+    previous low-res flow (`forward_interpolate`)."""
+    import os
+    from glob import glob
+
+    import jax.numpy as jnp
+
+    from ..data.flow_io import write_flo
+    from ..data.raft_datasets import _load_image
+    from ..models.raft.utils import InputPadder, forward_interpolate
+
+    flow_fn = _make_flow_fn(model, variables, iters)
+    for dstype in ("clean", "final"):
+        img_root = os.path.join(root, "test", dstype)
+        scenes = sorted(os.listdir(img_root)) if os.path.isdir(img_root) else []
+        for scene in scenes:
+            frames = sorted(glob(os.path.join(img_root, scene, "*.png")))
+            flow_prev = None
+            for i, (f1, f2) in enumerate(zip(frames[:-1], frames[1:])):
+                img1 = _load_image(f1)
+                img2 = _load_image(f2)
+                padder = InputPadder(img1.shape[:2], mode="sintel")
+                i1, i2 = padder.pad(jnp.asarray(img1[None], jnp.float32),
+                                    jnp.asarray(img2[None], jnp.float32))
+                init = (jnp.zeros((1, i1.shape[1] // 8, i1.shape[2] // 8, 2),
+                                  jnp.float32)
+                        if flow_prev is None else jnp.asarray(flow_prev[None]))
+                flow_low, flow_up = flow_fn(i1, i2, init)
+                flow = np.asarray(padder.unpad(flow_up[0]))
+                if warm_start:
+                    flow_prev = forward_interpolate(np.asarray(flow_low[0]))
+                out_scene = os.path.join(out_dir, dstype, scene)
+                os.makedirs(out_scene, exist_ok=True)
+                write_flo(os.path.join(out_scene, f"frame{i + 1:04d}.flo"),
+                          flow)
+
+
+def create_kitti_submission(model, variables, root: str, out_dir: str,
+                            iters: int = 24):
+    """Write KITTI-2015 test-set flow PNGs for upload (counterpart of the
+    original RAFT `evaluate.create_kitti_submission`)."""
+    import os
+    from glob import glob
+
+    import jax.numpy as jnp
+
+    from ..data.flow_io import write_kitti_png
+    from ..data.raft_datasets import _load_image
+    from ..models.raft.utils import InputPadder
+
+    flow_fn = _make_flow_fn(model, variables, iters)
+    os.makedirs(out_dir, exist_ok=True)
+    img1s = sorted(glob(os.path.join(root, "testing", "image_2", "*_10.png")))
+    img2s = sorted(glob(os.path.join(root, "testing", "image_2", "*_11.png")))
+    for f1, f2 in zip(img1s, img2s):
+        img1 = _load_image(f1)
+        img2 = _load_image(f2)
+        padder = InputPadder(img1.shape[:2], mode="kitti")
+        i1, i2 = padder.pad(jnp.asarray(img1[None], jnp.float32),
+                            jnp.asarray(img2[None], jnp.float32))
+        init = jnp.zeros((1, i1.shape[1] // 8, i1.shape[2] // 8, 2),
+                         jnp.float32)
+        _, flow_up = flow_fn(i1, i2, init)
+        flow = np.asarray(padder.unpad(flow_up[0]))
+        write_kitti_png(os.path.join(out_dir, os.path.basename(f1)), flow)
+
+
 def validate_stage(model, variables, stage: str, roots: dict,
                    iters: Optional[int] = None,
                    max_samples: Optional[int] = None) -> Dict[str, float]:

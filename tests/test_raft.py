@@ -416,3 +416,44 @@ def test_lookup_corr_mxu_matches_gather():
     gm = jax.grad(s_mxu)(f1)
     np.testing.assert_allclose(np.asarray(gm), np.asarray(ga),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_submission_writers(tmp_path):
+    """Sintel/KITTI test-set submission files round-trip through the real
+    (tiny) RAFT with warm-start and padding."""
+    import os
+    from PIL import Image
+    from pixflow_tpu.eval.flow_eval import (create_kitti_submission,
+                                            create_sintel_submission)
+    from pixflow_tpu.data.flow_io import read_flo, read_kitti_png
+    rng = np.random.default_rng(1)
+
+    sintel = tmp_path / "sintel"
+    for f in range(3):
+        d = sintel / "test" / "clean" / "scene_1"
+        d.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(rng.integers(0, 255, (20, 28, 3), np.uint8)).save(
+            str(d / f"frame_{f:04d}.png"))
+        (sintel / "test" / "final" / "empty_scene").mkdir(parents=True,
+                                                          exist_ok=True)
+    kitti = tmp_path / "kitti"
+    (kitti / "testing" / "image_2").mkdir(parents=True)
+    for k in (10, 11):
+        Image.fromarray(rng.integers(0, 255, (20, 28, 3), np.uint8)).save(
+            str(kitti / "testing" / "image_2" / f"000000_{k}.png"))
+
+    model = RAFT(small=True)
+    im = jnp.zeros((1, 24, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), im, im, iters=1)
+
+    out_s = str(tmp_path / "out_sintel")
+    create_sintel_submission(model, variables, str(sintel), out_s, iters=2)
+    flo = read_flo(os.path.join(out_s, "clean", "scene_1", "frame0001.flo"))
+    assert flo.shape == (20, 28, 2) and np.isfinite(flo).all()
+    assert os.path.exists(os.path.join(out_s, "clean", "scene_1",
+                                       "frame0002.flo"))
+
+    out_k = str(tmp_path / "out_kitti")
+    create_kitti_submission(model, variables, str(kitti), out_k, iters=2)
+    flow, valid = read_kitti_png(os.path.join(out_k, "000000_10.png"))
+    assert flow.shape == (20, 28, 2) and valid.all()
