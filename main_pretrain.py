@@ -41,6 +41,9 @@ def parse_args() -> PretrainConfig:
                    help="JPEG draft decode downscale: cheaper host "
                         "decode, identical pair geometry (see "
                         "data/datasets.py:load_image)")
+    p.add_argument("--native-decode", action="store_true",
+                   help="native libjpeg ROI decode fused with crop+resize "
+                        "(fastest host path; identical crop sampling)")
     p.add_argument("--worker-mode", type=str, default="thread",
                    choices=["thread", "process"],
                    help="decode workers: in-process threads or "
@@ -147,6 +150,7 @@ def parse_args() -> PretrainConfig:
         ("num_workers", d, "num_workers"), ("n_frames", d, "n_frames"),
         ("worker_mode", d, "worker_mode"),
         ("decode_scale", d, "decode_scale"),
+        ("native_decode", d, "native_decode"),
         ("batch_size", d, "batch_size"),
         ("flow_model", f, "flow_model"), ("alpha1", f, "alpha1"),
         ("alpha2", f, "alpha2"), ("flow_bs", f, "flow_bs"),

@@ -30,6 +30,9 @@ class DataConfig:
     # JPEG DCT-domain decode downscale (1 = full fidelity;
     # 2 = ~4x cheaper host decode, same pair geometry)
     decode_scale: int = 1
+    # native ROI decode (libjpeg band decode fused with the crop+resize);
+    # identical crop sampling, fastest host path
+    native_decode: bool = False
     # 'thread' (in-process pool) or 'process' (forked decode
     # workers, the reference DataLoader model; GIL-free)
     worker_mode: str = "thread"

@@ -167,6 +167,9 @@ class VideoFrameDataset:
     use_flow_frames: bool = False          # per-frame crop stacks (multi-span)
     flow_dtype: str = "float32"            # 'float16' halves transfer bytes
     decode_scale: int = 1                  # JPEG draft decode (1/2/4/8)
+    # native ROI decode: crops decode only their own band via libjpeg
+    # (data/jpegroi.py); non-JPEG files fall back to PIL
+    native_decode: bool = False
 
     def __post_init__(self):
         self.use_flow_file = bool(self.flow_fwd_root) and bool(self.flow_bwd_root)
@@ -210,8 +213,19 @@ class VideoFrameDataset:
 
     def _load(self, path):
         cache = getattr(self, "_byte_cache", None)
-        if cache is not None and path in cache:
-            return load_image(cache[path], self.decode_scale)
+        data = cache.get(path) if cache is not None else None
+        if (self.native_decode and isinstance(path, str)
+                and path.lower().endswith((".jpg", ".jpeg"))):
+            from .jpegroi import JpegSource
+            if data is None:
+                if zipreader.is_zip_path(path):
+                    data = zipreader.read_bytes(path)
+                else:
+                    with open(path, "rb") as f:
+                        data = f.read()
+            return JpegSource(data)
+        if data is not None:
+            return load_image(data, self.decode_scale)
         return load_image(path, self.decode_scale)
 
     def __len__(self):
@@ -307,6 +321,8 @@ class VideoFrameDataset:
         if self.load_raw_frames:
             raws = []
             for img in imgs:
+                if hasattr(img, "to_pil"):
+                    img = img.to_pil()
                 if self.raw_frame_size is not None:
                     h, w = self.raw_frame_size
                     img = img.resize((w, h), Image.BILINEAR)

@@ -67,7 +67,7 @@ class RandomResizedCropCoord:
             w, h = width, height
         return (height - h) // 2, (width - w) // 2, h, w
 
-    def __call__(self, img: Image.Image, rng: random.Random):
+    def __call__(self, img, rng: random.Random):
         width, height = img.size
         i, j, h, w = self.sample_box(width, height, rng)
         coord = np.array([
@@ -75,8 +75,13 @@ class RandomResizedCropCoord:
             (j + w - 1) / (width - 1), (i + h - 1) / (height - 1),
             j, i, w, h, width, height,
         ], np.float32)
-        out = img.resize(self.size, self.interpolation,
-                         box=(j, i, j + w, i + h))
+        if hasattr(img, "crop_resize"):
+            # native ROI decoder (data/jpegroi.py): identical box sampling —
+            # the rng stream above is untouched — with decode+resize fused
+            out = Image.fromarray(img.crop_resize((j, i, w, h), self.size))
+        else:
+            out = img.resize(self.size, self.interpolation,
+                             box=(j, i, j + w, i + h))
         return out, coord
 
 
