@@ -57,6 +57,8 @@ def main():
     batch = int(os.environ.get("LOADER_BATCH", "64"))
     workers = int(os.environ.get("LOADER_WORKERS", str(os.cpu_count())))
     mode = os.environ.get("LOADER_MODE", "both")
+    native = os.environ.get("LOADER_NATIVE", "0") == "1"
+    decode_scale = int(os.environ.get("LOADER_DECODE_SCALE", "1"))
     res = tuple(int(x) for x in
                 os.environ.get("LOADER_RES", "720x1280").split("x"))
 
@@ -73,7 +75,8 @@ def main():
             samples=list_image_folder(train, "bdd100k"),
             transform=transform, n_frames=n_frames, two_crop=True,
             video_mode=True, flow_fwd_root=fwd_pack, flow_bwd_root=bwd_pack,
-            flow_dtype="float16")
+            flow_dtype="float16", native_decode=native,
+            decode_scale=decode_scale)
 
         batch = min(batch, len(ds))  # one sample per video per epoch
         modes = ["thread", "process"] if mode == "both" else [mode]
