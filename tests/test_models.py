@@ -234,3 +234,46 @@ def test_momentum_schedule_cosine_ramp():
     np.testing.assert_allclose(m0, 0.99, atol=1e-7)
     np.testing.assert_allclose(m_half, 0.995, atol=1e-7)
     np.testing.assert_allclose(m_end, 1.0, atol=1e-7)
+
+
+def test_fuse_views_trajectory_equivalence(tiny_pixpro):
+    """Five full update steps (EMA + BN running stats feeding back): the
+    fused and unfused models stay on the same trajectory."""
+    import optax
+    from pixflow_tpu.models.pixpro import ema_update
+    model, params, batch_stats, im = tiny_pixpro
+    fused = PixPro(arch="resnet18", pixpro_p=2.0, pixpro_transform_layer=1,
+                   proj_inner_dim=64, proj_out_dim=32, fuse_views=True)
+    rng = np.random.default_rng(21)
+    coord = jnp.asarray(np.tile(np.array([0.1, 0.1, 0.4, 0.4, 128, 72, 384,
+                                          216, 1280, 720], np.float32), (2, 1)))
+    tx = optax.sgd(1e-2)
+
+    def run(m):
+        p, bs = params, batch_stats
+        opt = tx.init(p)
+        losses = []
+        for s in range(5):
+            p = ema_update(p, 0.99)
+            im1 = jnp.asarray(rng_imgs[s][0])
+            im2 = jnp.asarray(rng_imgs[s][1])
+
+            def loss_fn(pp):
+                (l, _), mut = m.apply({"params": pp, "batch_stats": bs},
+                                      im1, im2, coord, coord, train=True,
+                                      mutable=["batch_stats"])
+                return l, mut["batch_stats"]
+
+            (l, new_bs), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            up, opt = tx.update(g, opt, p)
+            p = optax.apply_updates(p, up)
+            bs = new_bs
+            losses.append(float(l))
+        return losses
+
+    rng_imgs = [(rng.standard_normal(im.shape).astype(np.float32),
+                 rng.standard_normal(im.shape).astype(np.float32))
+                for _ in range(5)]
+    lu = run(model)
+    lf = run(fused)
+    np.testing.assert_allclose(lf, lu, rtol=1e-4, atol=1e-4)
