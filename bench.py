@@ -22,6 +22,7 @@ BASELINE.md; estimate: ~33 GFLOPs/image training cost at ~35% fp32 MFU on a
 import json
 import os
 import time
+from functools import partial
 
 BASELINE_IMG_PER_SEC_PER_CHIP = 160.0
 
@@ -133,7 +134,7 @@ def main():
         state = jax.device_put(state, rep)
         batch = jax.device_put(batch, shd)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def many_steps(st, bt):
         return jax.lax.scan(lambda s, _: body(s, bt), st, None, length=n_scan)
 
