@@ -101,3 +101,32 @@ def test_dataset_native_decode_same_coords(tmp_path):
         assert a["im1"].dtype == np.uint8 and b["im1"].dtype == np.uint8
         diff = np.abs(a["im1"].astype(np.int16) - b["im1"].astype(np.int16))
         assert diff.mean() < 4.0, diff.mean()  # uint8 units
+
+
+def test_native_decode_with_process_workers(tmp_path):
+    """Forked decode workers + the native ROI decoder (ctypes lib handle
+    inherited through fork) produce the same batches as thread workers."""
+    from pixflow_tpu.data.datasets import VideoFrameDataset, list_image_folder
+    from pixflow_tpu.data.loader import ShardedLoader
+    from pixflow_tpu.data.transforms import get_transform
+
+    train = tmp_path / "train"
+    for v in range(4):
+        d = train / f"video{v:03d}"
+        d.mkdir(parents=True)
+        for f in range(2):
+            Image.fromarray(_smooth_frame(90, 160)).save(
+                str(d / f"frame{f:04d}.jpg"), quality=92)
+
+    t = get_transform("NULL", 0.2, image_size=32, emit_uint8=True)
+    ds = VideoFrameDataset(samples=list_image_folder(str(train), "bdd100k"),
+                           transform=t, n_frames=2, two_crop=True,
+                           native_decode=True)
+    lt = ShardedLoader(ds, 4, seed=2, num_threads=2, worker_mode="thread")
+    lp = ShardedLoader(ds, 4, seed=2, num_threads=2, worker_mode="process")
+    try:
+        for bt, bp in zip(lt.epoch(0), lp.epoch(0)):
+            for k in bt:
+                np.testing.assert_array_equal(bt[k], bp[k])
+    finally:
+        lp.close()

@@ -164,3 +164,38 @@ def test_flow_up_lazy_matches_materialized_step(mesh):
     np.testing.assert_allclose(float(results[True]["mask_ratio_fwd"]),
                                float(results[False]["mask_ratio_fwd"]),
                                atol=0.05)
+
+
+def test_fused_views_match_on_mesh(mesh):
+    """Fused two-view passes under GSPMD: the sharded [2B]->[2,B] per-view
+    BN reshape must give the same loss/metrics as the unfused model on the
+    8-device mesh (same params, same batch)."""
+    kw = dict(arch="resnet18", pixpro_p=2.0, pixpro_transform_layer=1,
+              pixpro_pos_ratio=0.7, proj_inner_dim=64, proj_out_dim=32)
+    batch = _batch(True)
+    lr = warmup_cosine(0.1, epochs=10, warmup_epoch=1, steps_per_epoch=5)
+
+    def one_step(fuse):
+        model = PixPro(fuse_views=fuse, **kw)
+        dummy_tx = lars_sgd(lr, weight_decay=1e-5)
+        state = create_train_state(jax.random.PRNGKey(0), model, dummy_tx,
+                                   {"im1": batch["im1"][:1]})
+        tx = lars_sgd(lr, weight_decay=1e-5,
+                      frozen_mask=frozen_momentum_branch_mask(state.params))
+        state = state.replace(opt_state=tx.init(state.params))
+        step = make_train_step(model, tx, lr_schedule=lr, ema_total_steps=50,
+                               ema_base_momentum=0.99, mesh=mesh,
+                               use_flow=True, flow_up=True, alpha1=0.01,
+                               alpha2=0.5, donate=False)
+        state, metrics = step(state, batch)
+        return state, metrics
+
+    su, mu = one_step(False)
+    sf, mf = one_step(True)
+    np.testing.assert_allclose(float(mf["loss"]), float(mu["loss"]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(mf["pos_num"]), float(mu["pos_num"]))
+    # BN running stats agree across the whole tree
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4),
+        su.batch_stats, sf.batch_stats)
