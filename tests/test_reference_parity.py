@@ -6,6 +6,7 @@ inputs as our JAX ops and require agreement to float tolerance. This pins
 the exact behaviors that silently drift otherwise: bin-center geometry,
 flow-warped positive masks, long-range composition, cycle consistency."""
 
+import os
 import sys
 import types
 
@@ -262,3 +263,47 @@ def test_raft_numerical_parity(oracle, small):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(up_j), up_ref,
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_precompute_flows_tool_e2e(oracle, tmp_path):
+    """tools/precompute_flows.py end-to-end: a reference-format torch
+    RAFT-small checkpoint (module.-prefixed DataParallel keys, like the
+    released files) + synthetic videos -> per-video flow .npy files the
+    training loader consumes."""
+    import argparse
+    import subprocess
+    import sys as _sys
+
+    from contrast.flow import RAFT as RefRAFT
+    from PIL import Image
+
+    torch.manual_seed(11)
+    args = argparse.Namespace(small=True, dropout=0.0, alternate_corr=False,
+                              mixed_precision=False)
+    ref = torch.nn.DataParallel(RefRAFT(args))
+    ckpt = str(tmp_path / "raft-small.pth")
+    torch.save(ref.state_dict(), ckpt)
+
+    data = tmp_path / "frames"
+    rng = np.random.default_rng(0)
+    for v in range(2):
+        d = data / f"video{v:03d}"
+        d.mkdir(parents=True)
+        for f in range(3):
+            Image.fromarray(rng.integers(0, 255, (64, 96, 3), np.uint8)).save(
+                str(d / f"frame{f:04d}.jpg"))
+
+    out = tmp_path / "flows"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [_sys.executable, "tools/precompute_flows.py", "--data-dir",
+         str(data), "--out-dir", str(out), "--flow-model", ckpt,
+         "--iters", "2", "--batch", "2"],
+        capture_output=True, text=True, timeout=3000, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    fwd = np.load(out / "forward" / "video000.npy")
+    bwd = np.load(out / "backward" / "video000.npy")
+    assert fwd.shape == (2, 8, 12, 2) and bwd.shape == (2, 8, 12, 2)
+    assert np.isfinite(fwd).all() and np.isfinite(bwd).all()

@@ -3,6 +3,11 @@
 served by the native mmap reader (see native/flowpack.cpp)."""
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 from pixflow_tpu.data.flowpack import pack_flow_dir
 
