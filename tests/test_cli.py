@@ -83,3 +83,24 @@ def test_wandb_run_name():
     cfg = get_recipe("pretrain_bdd100k_2000ep_nframe6")
     name = wandb_run_name(cfg)
     assert "resnet50" in name and "nf6" in name and "flow" in name
+
+
+def test_cli_round2_flags():
+    """fuse_views / worker-mode / decode knobs reach the config; defaults
+    pin the documented behavior (fused on, thread workers, full decode)."""
+    cfg = _parse([])
+    assert cfg.model.fuse_views is True
+    assert cfg.data.worker_mode == "thread"
+    assert cfg.data.decode_scale == 1
+    assert cfg.data.native_decode is False
+
+    cfg = _parse(["--no-fuse_views", "--worker-mode", "process",
+                  "--decode-scale", "2", "--native-decode"])
+    assert cfg.model.fuse_views is False
+    assert cfg.data.worker_mode == "process"
+    assert cfg.data.decode_scale == 2
+    assert cfg.data.native_decode is True
+
+    # recipes keep the fused default unless explicitly disabled
+    cfg = _parse(["--recipe", "pretrain_bdd100k_2000ep_nframe6"])
+    assert cfg.model.fuse_views is True
