@@ -177,6 +177,10 @@ def main():
         "value": round(img_per_sec_per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec_per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 3),
+        # the reference publishes no throughput; the denominator is our
+        # estimate (BASELINE.md), not a measured reference number
+        "baseline_img_per_sec_per_gpu_estimated": BASELINE_IMG_PER_SEC_PER_CHIP,
+        "baseline_is_estimate": True,
     }))
 
 

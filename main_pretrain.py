@@ -39,8 +39,8 @@ def parse_args() -> PretrainConfig:
     p.add_argument("--decode-scale", type=int, default=1,
                    choices=[1, 2, 4, 8],
                    help="JPEG draft decode downscale: cheaper host "
-                        "decode, identical pair geometry (see "
-                        "data/datasets.py:load_image)")
+                        "decode, near-identical pair geometry (O(1/W) "
+                        "boundary effects; see data/datasets.py:load_image)")
     p.add_argument("--native-decode", action="store_true",
                    help="native libjpeg ROI decode fused with crop+resize "
                         "(fastest host path; identical crop sampling)")

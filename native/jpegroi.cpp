@@ -9,6 +9,11 @@
 // widens with the downscale factor, i.e. antialiased), so the Python side
 // gets the finished [out_h, out_w, 3] uint8 crop in one call.
 //
+// The decoded band is widened by the filter support on every side (clamped
+// to the image bounds): PIL's Image.resize(box=...) samples real image
+// pixels *outside* the crop box wherever the triangle window extends past
+// it, so the band must cover that margin for exact parity at max_denom=1.
+//
 // C ABI (ctypes bindings in pixflow_tpu/data/jpegroi.py):
 //   jr_header(buf, len, &w, &h)                         -> 0 on success
 //   jr_decode_crop_resize(buf, len, x, y, w, h,
@@ -82,33 +87,22 @@ std::vector<Span> coeffs(int out_size, double box0, double box_len,
   return spans;
 }
 
-}  // namespace
+// Everything the libjpeg error path can interrupt. The band buffer lives
+// here — OUTSIDE the setjmp frame — so a longjmp from a corrupt JPEG
+// mid-decode never skips a std::vector destructor (the decode helper below
+// keeps only trivially-destructible locals).
+struct BandResult {
+  std::vector<unsigned char> band;
+  int band_w = 0, band_h = 0;
+  // crop box in scaled (1/denom) coordinates, band-relative
+  double bx = 0, by = 0, bw = 0, bh = 0;
+};
 
-extern "C" int jr_header(const unsigned char* buf, long len, int* w, int* h) {
-  jpeg_decompress_struct cinfo;
-  ErrMgr jerr;
-  cinfo.err = jpeg_std_error(&jerr.pub);
-  jerr.pub.error_exit = err_exit;
-  jerr.pub.emit_message = err_silent;
-  jerr.pub.output_message = err_silent_msg;
-  if (setjmp(jerr.jb)) {
-    jpeg_destroy_decompress(&cinfo);
-    return 1;
-  }
-  jpeg_create_decompress(&cinfo);
-  jpeg_mem_src(&cinfo, buf, (unsigned long)len);
-  jpeg_read_header(&cinfo, TRUE);
-  *w = (int)cinfo.image_width;
-  *h = (int)cinfo.image_height;
-  jpeg_destroy_decompress(&cinfo);
-  return 0;
-}
-
-extern "C" int jr_decode_crop_resize(const unsigned char* buf, long len,
-                                     int x, int y, int w, int h, int out_w,
-                                     int out_h, int max_denom,
-                                     unsigned char* out) {
-  if (w <= 0 || h <= 0 || out_w <= 0 || out_h <= 0) return 2;
+// Decode the (support-widened) band covering the crop box. All jpeg calls
+// and the setjmp target are confined to this function; its locals are all
+// trivially destructible, so the longjmp error path is well-defined.
+int decode_band(const unsigned char* buf, long len, int x, int y, int w,
+                int h, int out_w, int out_h, int max_denom, BandResult* res) {
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -143,24 +137,28 @@ extern "C" int jr_decode_crop_resize(const unsigned char* buf, long len,
   // crop box in scaled coordinates (float-exact; the decode band below is
   // integer-aligned and we resample against the fractional box)
   const double bx = x * inv, by = y * inv, bw = w * inv, bh = h * inv;
+  // filter support in scaled pixels; the band is widened by this margin so
+  // out-of-box source pixels are available, exactly as PIL sees them
+  const double sup_x = std::max(bw / out_w, 1.0);
+  const double sup_y = std::max(bh / out_h, 1.0);
 
-  JDIMENSION xoff = (JDIMENSION)std::floor(bx);
-  JDIMENSION xw = std::min<JDIMENSION>(
-      cinfo.output_width - xoff,
-      (JDIMENSION)std::ceil(bx + bw) - xoff);
+  JDIMENSION xoff = (JDIMENSION)std::max(0.0, std::floor(bx - sup_x));
+  JDIMENSION xend = std::min<JDIMENSION>(
+      cinfo.output_width, (JDIMENSION)std::ceil(bx + bw + sup_x));
+  JDIMENSION xw = xend - xoff;
   jpeg_crop_scanline(&cinfo, &xoff, &xw);  // may widen to iMCU boundary
 
-  int sy0 = (int)std::floor(by);
-  int sy1 = std::min<int>((int)cinfo.output_height, (int)std::ceil(by + bh));
+  int sy0 = std::max(0, (int)std::floor(by - sup_y));
+  int sy1 = std::min<int>((int)cinfo.output_height,
+                          (int)std::ceil(by + bh + sup_y));
   if (sy0 > 0) jpeg_skip_scanlines(&cinfo, (JDIMENSION)sy0);
 
   const int band_h = sy1 - sy0;
   const int band_w = (int)xw;
-  std::vector<unsigned char> band((size_t)band_h * band_w * 3);
-  std::vector<JSAMPROW> rows(1);
+  res->band.resize((size_t)band_h * band_w * 3);
   for (int r = 0; r < band_h; ++r) {
-    rows[0] = band.data() + (size_t)r * band_w * 3;
-    if (jpeg_read_scanlines(&cinfo, rows.data(), 1) != 1) {
+    JSAMPROW row = res->band.data() + (size_t)r * band_w * 3;
+    if (jpeg_read_scanlines(&cinfo, &row, 1) != 1) {
       jpeg_destroy_decompress(&cinfo);
       return 4;
     }
@@ -168,14 +166,56 @@ extern "C" int jr_decode_crop_resize(const unsigned char* buf, long len,
   jpeg_abort_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
 
-  // separable triangle resize of the fractional box (band-relative)
-  auto xs = coeffs(out_w, bx - (double)xoff, bw, band_w);
-  auto ys = coeffs(out_h, by - (double)sy0, bh, band_h);
+  res->band_w = band_w;
+  res->band_h = band_h;
+  res->bx = bx - (double)xoff;
+  res->by = by - (double)sy0;
+  res->bw = bw;
+  res->bh = bh;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" int jr_header(const unsigned char* buf, long len, int* w, int* h) {
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = err_exit;
+  jerr.pub.emit_message = err_silent;
+  jerr.pub.output_message = err_silent_msg;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, (unsigned long)len);
+  jpeg_read_header(&cinfo, TRUE);
+  *w = (int)cinfo.image_width;
+  *h = (int)cinfo.image_height;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+extern "C" int jr_decode_crop_resize(const unsigned char* buf, long len,
+                                     int x, int y, int w, int h, int out_w,
+                                     int out_h, int max_denom,
+                                     unsigned char* out) {
+  if (w <= 0 || h <= 0 || out_w <= 0 || out_h <= 0) return 2;
+  BandResult res;
+  int rc = decode_band(buf, len, x, y, w, h, out_w, out_h, max_denom, &res);
+  if (rc != 0) return rc;
+
+  const int band_w = res.band_w, band_h = res.band_h;
+  // separable triangle resize of the fractional box (band-relative; band
+  // carries the support margin, so windows only clamp at true image edges)
+  auto xs = coeffs(out_w, res.bx, res.bw, band_w);
+  auto ys = coeffs(out_h, res.by, res.bh, band_h);
 
   // horizontal pass: band [band_h, band_w, 3] -> tmp [band_h, out_w, 3]
   std::vector<float> tmp((size_t)band_h * out_w * 3);
   for (int r = 0; r < band_h; ++r) {
-    const unsigned char* src = band.data() + (size_t)r * band_w * 3;
+    const unsigned char* src = res.band.data() + (size_t)r * band_w * 3;
     float* dst = tmp.data() + (size_t)r * out_w * 3;
     for (int i = 0; i < out_w; ++i) {
       const Span& s = xs[i];

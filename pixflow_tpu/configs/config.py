@@ -27,8 +27,9 @@ class DataConfig:
     image_size: int = 224
     n_frames: int = 1
     num_workers: int = 4
-    # JPEG DCT-domain decode downscale (1 = full fidelity;
-    # 2 = ~4x cheaper host decode, same pair geometry)
+    # JPEG DCT-domain decode downscale (1 = full fidelity; 2 = ~4x cheaper
+    # host decode, near-identical pair geometry — O(1/W) boundary effects,
+    # ~0.25% of threshold-straddling pairs flip; tested >99% mask agreement)
     decode_scale: int = 1
     # native ROI decode (libjpeg band decode fused with the crop+resize);
     # identical crop sampling, fastest host path

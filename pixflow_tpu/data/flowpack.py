@@ -188,14 +188,16 @@ class MultiPackReader:
         return -1
 
     def num_flows(self, handle: int) -> int:
+        if handle < 0:
+            raise KeyError("invalid flowpack handle (video not in any shard)")
         r = self._readers[handle >> self._SHARD_SHIFT]
         return r.num_flows(handle & ((1 << self._SHARD_SHIFT) - 1))
 
     def read(self, name_or_handle, start: int, count: int) -> np.ndarray:
         if isinstance(name_or_handle, str):
             name_or_handle = self.find(name_or_handle)
-            if name_or_handle < 0:
-                raise KeyError("video not in any shard")
+        if name_or_handle < 0:
+            raise KeyError("video not in any shard")
         r = self._readers[name_or_handle >> self._SHARD_SHIFT]
         return r.read(name_or_handle & ((1 << self._SHARD_SHIFT) - 1),
                       start, count)

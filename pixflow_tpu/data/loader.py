@@ -66,23 +66,27 @@ class ShardedLoader:
         self._pool = None
 
     def _process_pool(self):
-        """Persistent forked worker pool (lazy, one per loader)."""
+        """Persistent forked worker pool (lazy, one per loader).
+
+        _FORK_DATASET stays set for the pool's lifetime: Pool re-forks
+        replacement workers when one dies, and those must inherit the
+        dataset too (cleared in close())."""
         if self._pool is None:
             import multiprocessing as mp
             global _FORK_DATASET
             ctx = mp.get_context("fork")
             _FORK_DATASET = self.dataset
-            try:
-                self._pool = ctx.Pool(self.num_threads)
-            finally:
-                _FORK_DATASET = None
+            self._pool = ctx.Pool(self.num_threads)
         return self._pool
 
     def close(self):
         if self._pool is not None:
+            global _FORK_DATASET
             self._pool.terminate()
             self._pool.join()
             self._pool = None
+            if _FORK_DATASET is self.dataset:
+                _FORK_DATASET = None
 
     def __del__(self):
         try:

@@ -132,3 +132,10 @@ def test_sharded_pack_and_multi_reader(tmp_path, pack):
         assert r.num_flows(h) == flows.shape[0]
         np.testing.assert_array_equal(r.read(name, 1, 3), flows[1:4])
     assert r.find("nope") < 0
+    # miss sentinel must fail loudly, not index a shard with -1
+    with pytest.raises(KeyError):
+        r.num_flows(r.find("nope"))
+    with pytest.raises(KeyError):
+        r.read(r.find("nope"), 0, 1)
+    with pytest.raises(KeyError):
+        r.read("nope", 0, 1)

@@ -36,7 +36,9 @@ def test_header_size(jpeg_bytes):
 
 def test_decode_crop_resize_matches_pil(jpeg_bytes):
     """max_denom=1 (full-fidelity band decode) reproduces PIL's
-    crop+BILINEAR resize closely — same triangle filter."""
+    crop+BILINEAR resize exactly up to PIL's fixed-point coefficient
+    rounding (|diff| <= 1 count): the decoded band carries the filter's
+    support margin, so out-of-box source pixels match PIL's too."""
     import io
 
     from pixflow_tpu.data.jpegroi import decode_crop_resize
@@ -49,7 +51,7 @@ def test_decode_crop_resize_matches_pil(jpeg_bytes):
         got = decode_crop_resize(jpeg_bytes, box, (224, 224),
                                  max_denom=1).astype(np.int16)
         mad = np.abs(got - ref).mean()
-        assert mad < 2.0, (box, mad)
+        assert mad < 0.3 and np.abs(got - ref).max() <= 1, (box, mad)
 
     # DCT-scaled decode stays visually equivalent on smooth content
     got = decode_crop_resize(jpeg_bytes, (100, 50, 600, 400), (224, 224),

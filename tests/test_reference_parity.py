@@ -13,6 +13,7 @@ import types
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
@@ -263,6 +264,186 @@ def test_raft_numerical_parity(oracle, small):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(up_j), up_ref,
                                rtol=1e-3, atol=1e-3)
+
+
+def _desync_batchnorm(module):
+    """SyncBatchNorm -> BatchNorm2d (identical params/stats) so the reference
+    model runs on CPU; with world size 1 the statistics are identical."""
+    for name, child in module.named_children():
+        if isinstance(child, torch.nn.SyncBatchNorm):
+            bn = torch.nn.BatchNorm2d(child.num_features, child.eps,
+                                      child.momentum, child.affine,
+                                      child.track_running_stats)
+            bn.load_state_dict(child.state_dict())
+            setattr(module, name, bn)
+        else:
+            _desync_batchnorm(child)
+
+
+@pytest.fixture(scope="module")
+def dist_oracle(oracle):
+    """The full-model oracle additionally needs a (world-1, gloo) process
+    group: reference PixPro.__init__ calls get_world_size()."""
+    if not torch.distributed.is_initialized():
+        torch.distributed.init_process_group(
+            "gloo", init_method="tcp://127.0.0.1:29572", rank=0, world_size=1)
+    return oracle
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("with_flow", [False, True])
+def test_composed_train_step_trajectory_parity(dist_oracle, with_flow):
+    """The last composition gap: run the reference's *actual* training loop —
+    torch PixPro (in-forward cosine-ramped EMA, `PixPro.py:398-399,321-337`)
+    + add_weight_decay + SGD+LARS (`main_pretrain.py:66-71`) +
+    GradualWarmupScheduler stepped per iteration (`main_pretrain.py:268-269`,
+    `lr_scheduler.py:6-62`) — for 5 steps on fixed synthetic batches, then
+    replay identical init weights/batches through our jitted
+    `make_train_step` and require the per-step loss sequence, per-step lr,
+    and the final parameter tree to agree.
+
+    This is where a silent composition bug (wd-inside-LARS interaction,
+    EMA/BN-update ordering, lr off-by-one) would hide; every piece is
+    already unit-oracle-pinned separately."""
+    import types as _types
+    ref_pixpro_mod, ref_util = dist_oracle
+    import contrast.resnet as ref_resnet
+    from contrast.lars import LARS as RefLARS, add_weight_decay
+    from contrast.lr_scheduler import get_scheduler
+    from contrast.flow import upflow8
+
+    from pixflow_tpu.models import PixPro
+    from pixflow_tpu.models.convert_pixpro import torch_pixpro_to_flax
+    from pixflow_tpu.train import (
+        TrainState, frozen_momentum_branch_mask, lars_sgd, make_lr_schedule,
+        make_train_step,
+    )
+
+    STEPS, B, HW = 5, 2, 64
+    LR, WD, MOM = 0.4, 1e-5, 0.9
+    EPOCHS, WARMUP_EPOCH, STEPS_PER_EPOCH = 10, 1, 10  # stays in warmup
+    EMA_BASE, EMA_K = 0.99, 1280  # K = num_instances/world/batch*epochs
+
+    args = _types.SimpleNamespace(
+        pixpro_p=2.0, pixpro_momentum=EMA_BASE, pixpro_pos_ratio=0.7,
+        pixpro_clamp_value=0.0, pixpro_transform_layer=1,
+        pixpro_ins_loss_weight=0.0, num_instances=1024, batch_size=8,
+        epochs=EPOCHS, start_epoch=1, output_dir="/tmp/refout",
+        lr_scheduler="cosine", warmup_epoch=WARMUP_EPOCH,
+        warmup_multiplier=100, feature_dim=256, head_type="early_return")
+    torch.manual_seed(21 if with_flow else 20)
+    ref_model = ref_pixpro_mod.PixPro(ref_resnet.resnet50, args)
+    _desync_batchnorm(ref_model)
+    ref_model.train()
+    init_sd = {"module." + k: v.detach().clone()
+               for k, v in ref_model.state_dict().items()}
+
+    rng = np.random.default_rng(31 if with_flow else 30)
+    batches = []
+    for _ in range(STEPS):
+        batches.append(dict(
+            im1=rng.standard_normal((B, 3, HW, HW)).astype(np.float32),
+            im2=rng.standard_normal((B, 3, HW, HW)).astype(np.float32),
+            coord1=_coords(B, int(rng.integers(1 << 30))),
+            coord2=_coords(B, int(rng.integers(1 << 30))),
+            flows_fwd=(8 * rng.standard_normal((B, 1, 2, 90, 160))
+                       ).astype(np.float32),
+            flows_bwd=(8 * rng.standard_normal((B, 1, 2, 90, 160))
+                       ).astype(np.float32)))
+
+    alpha1, alpha2 = 0.01, 0.5
+    size_t = torch.tensor([720, 1280])
+
+    def ref_flow_args(b):
+        """apply_optical_flow's use_flow_file+flow_up branch on CPU
+        (`util.py:181-248`): permute, upflow8, compose, cycle masks."""
+        ff = torch.from_numpy(b["flows_fwd"]).permute(1, 0, 2, 3, 4)
+        fb = torch.from_numpy(b["flows_bwd"]).permute(1, 0, 2, 3, 4)
+        num, nb, c, h, w = ff.shape
+        ff = upflow8(ff.reshape(-1, c, h, w)).reshape(num, nb, c, 8 * h, 8 * w)
+        fb = upflow8(fb.reshape(-1, c, h, w)).reshape(num, nb, c, 8 * h, 8 * w)
+        flow_f, flow_b = ref_util.all_concat_flow(ff, fb, use_flow_frames=False)
+        _, _, (mask_f, _) = ref_util.forward_backward_consistency(
+            flow_f, flow_b, alpha_1=alpha1, alpha_2=alpha2)
+        _, _, (mask_b, _) = ref_util.forward_backward_consistency(
+            flow_b, flow_f, alpha_1=alpha1, alpha_2=alpha2)
+        return ([torch.from_numpy(b["coord1"]), [flow_f, size_t, mask_f]],
+                [torch.from_numpy(b["coord2"]), [flow_b, size_t, mask_b]])
+
+    opt = torch.optim.SGD(add_weight_decay(ref_model, WD), lr=LR, momentum=MOM)
+    opt = RefLARS(opt)
+    scheduler = get_scheduler(opt, STEPS_PER_EPOCH, args)
+
+    ref_losses, ref_lrs = [], []
+    for b in batches:
+        if with_flow:
+            c1, c2 = ref_flow_args(b)
+        else:
+            c1, c2 = torch.from_numpy(b["coord1"]), torch.from_numpy(b["coord2"])
+        loss, _ = ref_model(torch.from_numpy(b["im1"]),
+                            torch.from_numpy(b["im2"]), c1, c2)
+        opt.zero_grad()
+        loss.backward()
+        ref_lrs.append(opt.param_groups[0]["lr"])
+        opt.step()
+        scheduler.step()
+        ref_losses.append(float(loss))
+
+    final_sd = {"module." + k: v for k, v in ref_model.state_dict().items()}
+    want = torch_pixpro_to_flax(final_sd)
+
+    # --- our side: identical init weights, jitted composed step ---
+    variables = torch_pixpro_to_flax(init_sd)
+    model = PixPro(arch="resnet50", pixpro_p=2.0, pixpro_transform_layer=1,
+                   pixpro_pos_ratio=0.7)
+    lr_sched = make_lr_schedule("cosine", LR, EPOCHS, WARMUP_EPOCH,
+                                STEPS_PER_EPOCH)
+    tx = lars_sgd(lr_sched, momentum=MOM, weight_decay=WD,
+                  frozen_mask=frozen_momentum_branch_mask(variables["params"]))
+    state = TrainState(
+        step=jnp.zeros([], jnp.int32), ema_k=jnp.zeros([], jnp.int32),
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]))
+    step = make_train_step(
+        model, tx, lr_schedule=lr_sched, ema_total_steps=EMA_K,
+        ema_base_momentum=EMA_BASE, use_flow=with_flow, flow_up=with_flow,
+        alpha1=alpha1 if with_flow else None,
+        alpha2=alpha2 if with_flow else None, donate=False)
+
+    losses, lrs = [], []
+    for b in batches:
+        jb = {"im1": jnp.asarray(b["im1"].transpose(0, 2, 3, 1)),
+              "im2": jnp.asarray(b["im2"].transpose(0, 2, 3, 1)),
+              "coord1": jnp.asarray(b["coord1"]),
+              "coord2": jnp.asarray(b["coord2"])}
+        if with_flow:
+            jb["flows_fwd"] = jnp.asarray(b["flows_fwd"].transpose(0, 1, 3, 4, 2))
+            jb["flows_bwd"] = jnp.asarray(b["flows_bwd"].transpose(0, 1, 3, 4, 2))
+        state, metrics = step(state, jb)
+        losses.append(float(metrics["loss"]))
+        lrs.append(float(metrics["lr"]))
+
+    np.testing.assert_allclose(lrs, ref_lrs, rtol=1e-6)
+    np.testing.assert_allclose(losses, ref_losses, rtol=2e-3, atol=2e-4)
+
+    flat_ours = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    flat_want = dict(jax.tree_util.tree_flatten_with_path(want["params"])[0])
+    assert len(flat_ours) == len(flat_want)
+    for path, leaf in flat_ours:
+        ref_leaf = np.asarray(flat_want[path])
+        got = np.asarray(leaf)
+        # norm-relative per leaf: 5 steps of f32 accumulation leave
+        # per-element noise (single BN-bias elements reach ~2% rel at 1e-4
+        # magnitude) but a composition bug (wrong lr/wd/momentum/EMA step)
+        # shifts the whole leaf. The per-step loss/lr sequences above stay
+        # elementwise-pinned. Floor handles zero-init leaves (biases,
+        # zero-gamma BN) whose reference norm is itself noise-scale.
+        err = np.linalg.norm(got - ref_leaf)
+        floor = 1e-4 * np.sqrt(got.size)
+        limit = 5e-3 * max(np.linalg.norm(ref_leaf), floor)
+        assert err < limit, (
+            f"param {jax.tree_util.keystr(path)} diverged after {STEPS} "
+            f"composed steps: ||diff||={err:.3e} > {limit:.3e}")
 
 
 @pytest.mark.slow
