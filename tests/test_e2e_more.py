@@ -114,3 +114,59 @@ def test_flow_frames_mode_through_driver(tmp_path):
 
     state = train(cfg)
     assert int(state.step) == 1
+
+
+def test_live_raft_flow_through_driver(tmp_path):
+    """On-the-fly RAFT end-to-end (reference `use_flow` without
+    `use_flow_file`, `main_pretrain.py:42-57` + `contrast/util.py:201-204`):
+    the driver loads a torch RAFT-small checkpoint, the loader emits raw
+    uint8 frames, and the compiled step runs frames -> RAFT -> compose ->
+    cycle masks -> loss in one program."""
+    import argparse
+    import sys
+    import types
+
+    import torch
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from contrast.flow import RAFT as RefRAFT
+
+    torch.manual_seed(13)
+    targs = argparse.Namespace(small=True, dropout=0.0, alternate_corr=False,
+                               mixed_precision=False)
+    ckpt = str(tmp_path / "raft-small.pth")
+    # DataParallel-prefixed keys, like the released checkpoints
+    torch.save(torch.nn.DataParallel(RefRAFT(targs)).state_dict(), ckpt)
+
+    rng = np.random.default_rng(7)
+    root = tmp_path / "data"
+    for v in range(8):
+        vd = root / "train" / f"v{v:02d}"
+        vd.mkdir(parents=True)
+        for f in range(3):
+            Image.fromarray(rng.integers(0, 255, (48, 64, 3)).astype(
+                np.uint8)).save(vd / f"f{f:02d}.jpg")
+
+    from pixflow_tpu.train.driver import train
+    cfg = _tiny_cfg(str(root), str(tmp_path / "out"))
+    cfg.data.dataset = "bdd100k"
+    cfg.data.n_frames = 3
+    cfg.flow.use_flow = True
+    cfg.flow.use_flow_file = False
+    cfg.flow.flow_model = ckpt
+    cfg.flow.small = True
+    cfg.flow.raft_iters = 2
+    cfg.flow.flow_bs = None
+    cfg.flow.alpha1 = 0.01
+    cfg.flow.alpha2 = 0.5
+
+    state = train(cfg)
+    assert int(state.step) == 1
+    assert os.path.exists(os.path.join(str(tmp_path / "out"),
+                                       "current.msgpack"))

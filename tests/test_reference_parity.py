@@ -447,6 +447,81 @@ def test_composed_train_step_trajectory_parity(dist_oracle, with_flow):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("flow_up", [False, True])
+def test_live_raft_chain_matches_reference(oracle, monkeypatch, flow_up):
+    """The on-the-fly flow branch end-to-end: our frames -> RAFT ->
+    composition -> cycle-mask chain vs the reference's
+    `mem_reduce_calc_optical_flow` -> `all_concat_flow` ->
+    `forward_backward_consistency` (`contrast/util.py:129-171,105-126,
+    252-297`) with identical (random-init, converter-imported) RAFT-small
+    weights. flow_up=True is the live-RAFT full-resolution recipe where
+    RAFT's own upsampled output feeds the composition directly."""
+    import argparse
+
+    from contrast.flow import RAFT as RefRAFT
+
+    from pixflow_tpu.models.raft import RAFT
+    from pixflow_tpu.models.raft.convert import torch_state_dict_to_flax
+    from pixflow_tpu.models.raft.raft import raft_batch_flows
+    from pixflow_tpu.ops.flow import compose_and_mask
+
+    _, ref_util = oracle
+    # the reference chain hard-codes .cuda(); run it in place on CPU
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+
+    torch.manual_seed(6)
+    targs = argparse.Namespace(small=True, dropout=0.0, alternate_corr=False,
+                               mixed_precision=False)
+    ref_raft = RefRAFT(targs)
+    ref_raft.eval()
+    variables = torch_state_dict_to_flax(ref_raft.state_dict(), small=True)
+    model = RAFT(small=True)
+
+    B, n, H, W = 2, 3, 128, 160
+    r = np.random.default_rng(9)
+    frames = np.empty((B, n, H, W, 3), np.float32)
+    frames[:, 0] = r.integers(0, 255, (B, H, W, 3))
+    for i in range(1, n):  # consecutive frames: small photometric drift
+        frames[:, i] = np.clip(
+            frames[:, i - 1] + 6.0 * r.standard_normal((B, H, W, 3)), 0, 255)
+    frames = frames.round()
+
+    alpha1, alpha2 = 0.01, 0.5
+    args = argparse.Namespace(use_flow_frames=False, flow_up=flow_up,
+                              flow_cat_norm=False, verbose=False, flow_bs=1,
+                              alpha1=alpha1, alpha2=alpha2)
+    orig_imgs = [torch.from_numpy(frames[:, i].transpose(0, 3, 1, 2))
+                 for i in range(n)]
+    with torch.no_grad():
+        flow_f, flow_b = ref_util.mem_reduce_calc_optical_flow(
+            orig_imgs, ref_raft, args)  # [1, B, 2, h, w]
+    _, _, (mask_f, _) = ref_util.forward_backward_consistency(
+        flow_f[0], flow_b[0], alpha_1=alpha1, alpha_2=alpha2)
+    _, _, (mask_b, _) = ref_util.forward_backward_consistency(
+        flow_b[0], flow_f[0], alpha_1=alpha1, alpha_2=alpha2)
+
+    # ours: the exact train-step path (driver.py:74-87 + train_step)
+    flows_fwd, flows_bwd = raft_batch_flows(
+        model, variables, jnp.asarray(frames), iters=12, up=flow_up,
+        micro_batch=1)
+    ours_f, ours_b, ours_mf, ours_mb = compose_and_mask(
+        flows_fwd, flows_bwd, flow_up=False, use_flow_frames=False,
+        alpha_1=alpha1, alpha_2=alpha2)
+
+    ref_f = flow_f[0].numpy().transpose(0, 2, 3, 1)
+    ref_b = flow_b[0].numpy().transpose(0, 2, 3, 1)
+    scale = np.abs(ref_f).max()
+    np.testing.assert_allclose(np.asarray(ours_f), ref_f,
+                               atol=max(2e-2, 2e-3 * scale), rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(ours_b), ref_b,
+                               atol=max(2e-2, 2e-3 * scale), rtol=2e-2)
+    agree_f = np.mean(np.asarray(ours_mf) == mask_f.numpy())
+    agree_b = np.mean(np.asarray(ours_mb) == mask_b.numpy())
+    assert agree_f > 0.99 and agree_b > 0.99, (agree_f, agree_b)
+
+
+@pytest.mark.slow
 def test_precompute_flows_tool_e2e(oracle, tmp_path):
     """tools/precompute_flows.py end-to-end: a reference-format torch
     RAFT-small checkpoint (module.-prefixed DataParallel keys, like the
