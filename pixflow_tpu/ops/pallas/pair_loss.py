@@ -12,9 +12,11 @@ Gradients use an analytic custom VJP (the mask is constant w.r.t. features):
     d/dk [ sum(q^T k * M) / S ] = (M^T @ q) / S
 
 so the backward pass is two small einsums — no differentiation through the
-kernel. The XLA composition in ops/loss.py remains the default; this kernel
-is the fused fast path (`pixpro_pair_loss_fused`) and must match it exactly
-(tested)."""
+kernel. The XLA composition in ops/loss.py remains the default; on-chip
+adjudication (docs/PERF.md round-3 section) measured this kernel WITHIN
+NOISE of the XLA path at every recipe shape (the 49x49 matrices are too
+small for fusion to matter), so `pixpro_pair_loss_fused` is an experimental
+alternative, kept because it must (and does, tested) match exactly."""
 
 from __future__ import annotations
 

@@ -20,7 +20,13 @@ the tent weight of source index i for coordinate x is exactly the bilinear
 floor/ceil tap weight, zero outside the image.
 
 Fields are channel-planar [B, C, H, W] here so each channel is a clean
-2-D MXU operand (channels-last would waste lanes on C=2)."""
+2-D MXU operand (channels-last would waste lanes on C=2).
+
+EXPERIMENTAL: on-chip adjudication (docs/PERF.md round-3 section, measured
+via tools/bench_warp.py) has `grid_sample_mxu`'s batched XLA einsums 2.8x
+FASTER than this kernel at the composition shape (per-program [chunk,H]
+contractions underfill the MXU) and the gather path faster at full-res.
+`ops/resample.grid_sample_auto` therefore never dispatches here."""
 
 from __future__ import annotations
 
