@@ -47,6 +47,7 @@ def main():
     mesh = make_data_mesh(n_dev) if n_dev > 1 else None
 
     per_chip_batch = int(os.environ.get("BENCH_BATCH", "64"))
+    device_aug = os.environ.get("BENCH_DEVICE_AUG", "0") == "1"
     flow_up = os.environ.get("BENCH_FLOW_UP", "1") == "1"
     fuse_views = os.environ.get("BENCH_FUSE", "1") == "1"
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
@@ -73,6 +74,22 @@ def main():
         "flows_bwd": jnp.asarray(
             2 * rng.standard_normal((b, k, fh, fw, 2)).astype(np.float32)),
     }
+    if device_aug:
+        # BYOL-style parameters sampled the production way (transforms.py)
+        import random as _random
+        from pixflow_tpu.data.transforms import (ColorJitter, GaussianBlur,
+                                                 RandomApply, RandomGrayscale,
+                                                 Solarize,
+                                                 sample_photometric_params)
+        _r = _random.Random(0)
+        ops = [RandomApply(ColorJitter(0.4, 0.4, 0.2, 0.1), 0.8),
+               RandomGrayscale(0.2), RandomApply(GaussianBlur(), 1.0),
+               RandomApply(Solarize(), 0.2)]
+        batch["im1"] = (batch["im1"] * 40 + 128).astype(jnp.uint8)
+        batch["im2"] = (batch["im2"] * 40 + 128).astype(jnp.uint8)
+        for key in ("aug1", "aug2"):
+            batch[key] = jnp.asarray(np.stack(
+                [sample_photometric_params(ops, _r) for _ in range(b)]))
     jax.block_until_ready(batch)
 
     model = PixPro(arch="resnet50", pixpro_p=2.0, pixpro_transform_layer=1,
@@ -112,10 +129,17 @@ def main():
                 bt["flows_fwd"], bt["flows_bwd"], flow_up=flow_up,
                 use_flow_frames=False, alpha_1=0.01, alpha_2=0.5)
 
+        if device_aug:
+            from pixflow_tpu.train.train_step import _prep_images_aug
+            im1 = _prep_images_aug(bt["im1"], bt["aug1"])
+            im2 = _prep_images_aug(bt["im2"], bt["aug2"])
+        else:
+            im1, im2 = bt["im1"], bt["im2"]
+
         def loss_fn(p):
             (loss, _), mut = model.apply(
                 {"params": p, "batch_stats": st.batch_stats},
-                bt["im1"], bt["im2"], bt["coord1"], bt["coord2"],
+                im1, im2, bt["coord1"], bt["coord2"],
                 ff, fb, mf, mb, train=True, mutable=["batch_stats"])
             return loss, mut["batch_stats"]
 

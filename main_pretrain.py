@@ -48,6 +48,14 @@ def parse_args() -> PretrainConfig:
                    choices=["thread", "process"],
                    help="decode workers: in-process threads or "
                         "forked processes (GIL-free decode)")
+    p.add_argument("--mask-ratio-exact", action="store_true",
+                   help="log the reference-exact full-field mask ratio for "
+                        "the printed batch (materializing telemetry pass) "
+                        "alongside the strided per-step estimate")
+    p.add_argument("--device-aug", action="store_true",
+                   help="run photometric augmentation on the TPU "
+                        "(ops/augment.py); host only decodes/crops/flips — "
+                        "crop geometry identical, pixel parity bounded")
     p.add_argument("--n-frames", type=int, default=1)
     p.add_argument("--batch-size", type=int, default=64,
                    help="per-replica batch size")
@@ -151,6 +159,7 @@ def parse_args() -> PretrainConfig:
         ("worker_mode", d, "worker_mode"),
         ("decode_scale", d, "decode_scale"),
         ("native_decode", d, "native_decode"),
+        ("device_aug", d, "device_aug"),
         ("batch_size", d, "batch_size"),
         ("flow_model", f, "flow_model"), ("alpha1", f, "alpha1"),
         ("alpha2", f, "alpha2"), ("flow_bs", f, "flow_bs"),
@@ -175,6 +184,7 @@ def parse_args() -> PretrainConfig:
         ("seed", r, "seed"), ("debug", r, "debug"),
         ("debug_epochs", r, "debug_epochs"), ("verbose", r, "verbose"),
         ("compute_dtype", r, "compute_dtype"), ("mesh_shape", r, "mesh_shape"),
+        ("mask_ratio_exact", r, "mask_ratio_exact"),
     ]:
         if not a.recipe or given(field_):
             setattr(dst, attr, getattr(a, field_))

@@ -212,35 +212,50 @@ extern "C" int jr_decode_crop_resize(const unsigned char* buf, long len,
   auto xs = coeffs(out_w, res.bx, res.bw, band_w);
   auto ys = coeffs(out_h, res.by, res.bh, band_h);
 
-  // horizontal pass: band [band_h, band_w, 3] -> tmp [band_h, out_w, 3]
-  std::vector<float> tmp((size_t)band_h * out_w * 3);
-  for (int r = 0; r < band_h; ++r) {
-    const unsigned char* src = res.band.data() + (size_t)r * band_w * 3;
-    float* dst = tmp.data() + (size_t)r * out_w * 3;
+  // float band once: the passes below are then contiguous float SAXPY /
+  // small-tap accumulations that -O3 auto-vectorizes (the previous
+  // uint8-strided gather loops cost more than the JPEG decode itself)
+  const size_t band_elems = (size_t)band_h * band_w * 3;
+  std::vector<float> bandf(band_elems);
+  for (size_t i = 0; i < band_elems; ++i)
+    bandf[i] = (float)res.band[i];
+  res.band.clear();
+  res.band.shrink_to_fit();
+
+  // vertical pass (row SAXPY over the full contiguous row width):
+  // [band_h, band_w*3] -> [out_h, band_w*3]
+  const int w3 = band_w * 3;
+  std::vector<float> vert((size_t)out_h * w3);
+  for (int r = 0; r < out_h; ++r) {
+    const Span& s = ys[r];
+    float* dst = vert.data() + (size_t)r * w3;
+    std::memset(dst, 0, sizeof(float) * w3);
+    for (size_t k = 0; k < s.w.size(); ++k) {
+      const float wk = s.w[k];
+      const float* srow = bandf.data() + (size_t)(s.start + k) * w3;
+      for (int i = 0; i < w3; ++i) dst[i] += wk * srow[i];
+    }
+  }
+
+  // horizontal pass on the reduced [out_h] rows -> out uint8
+  for (int r = 0; r < out_h; ++r) {
+    const float* src = vert.data() + (size_t)r * w3;
+    unsigned char* dst = out + (size_t)r * out_w * 3;
     for (int i = 0; i < out_w; ++i) {
       const Span& s = xs[i];
       float acc0 = 0, acc1 = 0, acc2 = 0;
-      for (size_t k = 0; k < s.w.size(); ++k) {
-        const unsigned char* p = src + (size_t)(s.start + k) * 3;
+      const float* p = src + (size_t)s.start * 3;
+      for (size_t k = 0; k < s.w.size(); ++k, p += 3) {
         acc0 += s.w[k] * p[0];
         acc1 += s.w[k] * p[1];
         acc2 += s.w[k] * p[2];
       }
-      dst[i * 3 + 0] = acc0;
-      dst[i * 3 + 1] = acc1;
-      dst[i * 3 + 2] = acc2;
-    }
-  }
-  // vertical pass -> out [out_h, out_w, 3] uint8
-  for (int r = 0; r < out_h; ++r) {
-    const Span& s = ys[r];
-    unsigned char* dst = out + (size_t)r * out_w * 3;
-    for (int i = 0; i < out_w * 3; ++i) {
-      float acc = 0;
-      for (size_t k = 0; k < s.w.size(); ++k)
-        acc += s.w[k] * tmp[(size_t)(s.start + k) * out_w * 3 + i];
-      int v = (int)std::lround(acc);
-      dst[i] = (unsigned char)std::min(255, std::max(0, v));
+      dst[i * 3 + 0] = (unsigned char)std::min(
+          255L, std::max(0L, std::lround(acc0)));
+      dst[i * 3 + 1] = (unsigned char)std::min(
+          255L, std::max(0L, std::lround(acc1)));
+      dst[i * 3 + 2] = (unsigned char)std::min(
+          255L, std::max(0L, std::lround(acc2)));
     }
   }
   return 0;

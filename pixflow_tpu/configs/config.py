@@ -37,6 +37,10 @@ class DataConfig:
     # 'thread' (in-process pool) or 'process' (forked decode
     # workers, the reference DataLoader model; GIL-free)
     worker_mode: str = "thread"
+    # photometric augmentation on the TPU (ops/augment.py): the host only
+    # decodes/crops/flips and samples parameters — frees ~10 ms of PIL work
+    # per sample pair; crop/flip geometry is rng-stream-identical
+    device_aug: bool = False
     batch_size: int = 64               # per replica (reference: per GPU)
     # transfer efficiency: ship uint8 crops (normalize on device) and f16
     # flow windows; 4x / 2x less host->device traffic, numerically benign
@@ -113,6 +117,11 @@ class RuntimeConfig:
     compute_dtype: str = "bfloat16"    # 'bfloat16' | 'float32' (amp O1-ish vs O0)
     mesh_shape: Optional[int] = None   # data-parallel mesh size; None = all devices
     profile_dir: str = ""              # write a jax.profiler trace of steps 10-15
+    # per-step mask-ratio telemetry is a strided exact-sample estimate
+    # (ops/flow_points.py:mask_ratio_estimate, +-0.08 tested); this computes
+    # the reference-exact full-field ratio (util.py:360-366) for the logged
+    # batch at every print_freq interval (materializing pass, telemetry only)
+    mask_ratio_exact: bool = False
     tensorboard: bool = True           # tf.summary scalars next to metrics.jsonl
     wandb: bool = False
     wandb_project: str = "pixflow-tpu"

@@ -268,7 +268,8 @@ class VideoFrameDataset:
         target = frames[0][1]
         t1, t2 = self._transforms()
 
-        im1, coord1 = t1(imgs[0], rng)
+        out1 = t1(imgs[0], rng)
+        im1, coord1 = out1[0], out1[1]
         sample = {
             "im1": im1,
             "coord1": coord1,
@@ -276,10 +277,14 @@ class VideoFrameDataset:
             "target": np.int32(target),
             "n_frames_eff": np.int32(eff),
         }
+        if len(out1) == 3:  # device-photometric mode: per-crop aug params
+            sample["aug1"] = out1[2]
         if self.two_crop:
-            im2, coord2 = t2(imgs[-1], rng)
-            sample["im2"] = im2
-            sample["coord2"] = coord2
+            out2 = t2(imgs[-1], rng)
+            sample["im2"] = out2[0]
+            sample["coord2"] = out2[1]
+            if len(out2) == 3:
+                sample["aug2"] = out2[2]
 
         if self.use_flow_frames and self.two_crop and self.n_frames > 2:
             # per-frame crop stacks for multi-span training: view-1 crops of
@@ -315,8 +320,13 @@ class VideoFrameDataset:
                 bs, bn = mirrored_window(start, start + k_eff, num_flow)
                 bwd, _ = load_flow_file(bwd_path, bs, bn)
             out_dt = np.float16 if self.flow_dtype == "float16" else np.float32
-            sample["flows_fwd"] = _pad_flows(fwd, self.n_flows).astype(out_dt)
-            sample["flows_bwd"] = _pad_flows(bwd, self.n_flows).astype(out_dt)
+            # copy=False: the pack reader already yields the transfer dtype,
+            # so this is a no-op there (the astype copy was ~10% of the
+            # whole per-sample host budget)
+            sample["flows_fwd"] = _pad_flows(fwd, self.n_flows).astype(
+                out_dt, copy=False)
+            sample["flows_bwd"] = _pad_flows(bwd, self.n_flows).astype(
+                out_dt, copy=False)
 
         if self.load_raw_frames:
             raws = []

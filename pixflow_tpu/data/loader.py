@@ -204,7 +204,9 @@ def build_pretrain_loader(cfg, *, global_batch_size: Optional[int] = None,
 
     transform = get_transform(data.aug, data.crop, data.image_size,
                               data.crop_ratio,
-                              emit_uint8=getattr(data, "uint8_transfer", True))
+                              emit_uint8=getattr(data, "uint8_transfer", True),
+                              device_photometric=getattr(data, "device_aug",
+                                                         False))
 
     fwd_root = bwd_root = ""
     if flow.use_flow and flow.use_flow_file:

@@ -193,6 +193,117 @@ def to_normalized_array(img: Image.Image) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# device-side photometric augmentation: host samples parameters only
+# --------------------------------------------------------------------------
+
+LUMA = np.array([0.299, 0.587, 0.114], np.float64)  # PIL ITU-R 601-2 L
+
+
+class _SegAccum:
+    """Composes one affine color segment x -> M x + c0 + c1*(v.mean(x)+s)
+    from brightness/contrast/saturation/grayscale ops applied in order
+    (ops/augment.py explains why one matrix per hue-delimited segment is
+    exact)."""
+
+    def __init__(self):
+        self.M = np.eye(3)
+        self.c0 = np.zeros(3)
+        self.c1 = np.zeros(3)
+        self.v = np.zeros(3)
+        self.s = 0.0
+
+    def linear(self, kind: str, f: float = 1.0):
+        if kind == "b":           # brightness: x*f
+            self.M = self.M * f
+            self.c0 = self.c0 * f
+            self.c1 = self.c1 * f
+        elif kind == "s":         # saturation: f*x + (1-f)*gray(x)
+            S = f * np.eye(3) + (1 - f) * np.outer(np.ones(3), LUMA)
+            self.M = S @ self.M
+            self.c0 = S @ self.c0
+            self.c1 = S @ self.c1
+        elif kind == "c":         # contrast: f*x + (1-f)*mean_gray(x)
+            # mean_gray at this point = LUMA . (M mu + c0); contrast occurs
+            # at most once, so c1 is free until here
+            self.v = self.M.T @ LUMA
+            self.s = float(LUMA @ self.c0)
+            self.M = self.M * f
+            self.c0 = self.c0 * f
+            self.c1 = np.full(3, 1.0 - f)
+        elif kind == "g":         # grayscale projection
+            G = np.outer(np.ones(3), LUMA)
+            self.M = G @ self.M
+            self.c0 = G @ self.c0
+            self.c1 = G @ self.c1
+        else:  # pragma: no cover
+            raise NotImplementedError(kind)
+
+
+def sample_photometric_params(photometric: Sequence,
+                              rng: random.Random) -> np.ndarray:
+    """Walk a photometric op list drawing the EXACT same rng stream as
+    applying it (so crop/flip geometry stays bit-identical between host-PIL
+    and device-aug modes) but return a packed parameter vector for
+    `ops/augment.apply_photometric` instead of touching pixels."""
+    from ..ops.augment import PARAM_DIM
+
+    seg1, seg2 = _SegAccum(), _SegAccum()
+    state = {"cur": seg1, "delta": 0.0, "sigma": 0.0, "solar": 0.0}
+
+    def walk(op):
+        if isinstance(op, RandomApply):
+            if rng.random() < op.p:
+                walk(op.op)
+        elif isinstance(op, ColorJitter):
+            tags = []
+            if op.brightness > 0:
+                tags.append(("b", op._factor(rng, op.brightness)))
+            if op.contrast > 0:
+                tags.append(("c", op._factor(rng, op.contrast)))
+            if op.saturation > 0:
+                tags.append(("s", op._factor(rng, op.saturation)))
+            if op.hue > 0:
+                tags.append(("h", rng.uniform(-op.hue, op.hue)))
+            rng.shuffle(tags)  # same length as the lambda list -> same draws
+            for kind, f in tags:
+                if kind == "h":
+                    state["delta"] = f
+                    state["cur"] = seg2
+                else:
+                    state["cur"].linear(kind, f)
+        elif isinstance(op, RandomGrayscale):
+            if rng.random() < op.p:
+                state["cur"].linear("g")
+        elif isinstance(op, GaussianBlur):
+            state["sigma"] = rng.uniform(0.1, 2.0)
+        elif isinstance(op, Solarize):
+            state["solar"] = 1.0
+        else:
+            raise NotImplementedError(
+                f"{type(op).__name__} has no device-side equivalent "
+                "(use host augmentation for this recipe)")
+
+    for op in photometric:
+        walk(op)
+
+    out = np.empty(PARAM_DIM, np.float32)
+    out[0:9] = seg1.M.reshape(-1)
+    out[9:12] = seg1.c0
+    out[12:15] = seg1.c1
+    out[15:18] = seg1.v
+    out[18] = seg1.s
+    out[19] = state["delta"]
+    out[20:29] = seg2.M.reshape(-1)
+    out[29:32] = seg2.c0
+    out[32:35] = seg2.c1
+    out[35:38] = seg2.v
+    out[38] = seg2.s
+    out[39] = state["sigma"]
+    out[40] = state["solar"]
+    return out
+
+
+# --------------------------------------------------------------------------
 # composition + recipes
 # --------------------------------------------------------------------------
 
@@ -200,23 +311,34 @@ class TransformCompose:
     """Crop(+coord) -> flips(+coord) -> photometric -> normalize.
 
     With emit_uint8=True the normalization is deferred to the device (the
-    train step recognizes uint8 batches): 4x less host->device traffic."""
+    train step recognizes uint8 batches): 4x less host->device traffic.
+
+    With device_photometric=True the photometric ops are only *sampled*
+    here (identical rng stream, so geometry matches the host path exactly)
+    and returned as a parameter vector; `ops/augment.apply_photometric`
+    applies them on-device inside the train step. __call__ then returns
+    (uint8 crop, coord, params)."""
 
     def __init__(self, crop: RandomResizedCropCoord,
                  flips: Sequence, photometric: Sequence,
-                 emit_uint8: bool = False):
+                 emit_uint8: bool = False,
+                 device_photometric: bool = False):
         self.crop = crop
         self.flips = list(flips)
         self.photometric = list(photometric)
         self.emit_uint8 = emit_uint8
+        self.device_photometric = device_photometric
 
     def __call__(self, img: Image.Image,
                  rng: Optional[random.Random] = None
-                 ) -> Tuple[np.ndarray, np.ndarray]:
+                 ) -> Tuple[np.ndarray, ...]:
         rng = rng or random
         img, coord = self.crop(img, rng)
         for f in self.flips:
             img, coord = f(img, coord, rng)
+        if self.device_photometric:
+            params = sample_photometric_params(self.photometric, rng)
+            return np.asarray(img, np.uint8), coord, params
         for op in self.photometric:
             img = op(img, rng)
         if self.emit_uint8:
@@ -244,14 +366,19 @@ class CenterCropVal:
 
 
 def get_transform(aug: str, crop: float, image_size: int = 224,
-                  ratio=(3 / 4, 4 / 3), emit_uint8: bool = False):
+                  ratio=(3 / 4, 4 / 3), emit_uint8: bool = False,
+                  device_photometric: bool = False):
     """Named augmentation recipes (reference `transform.py:17-107`). BYOL
     returns an asymmetric (view1, view2) pair of transforms."""
+    if device_photometric and aug in ("RandAug", "val"):
+        raise NotImplementedError(
+            f"device photometric augmentation does not cover '{aug}'")
     crop_t = RandomResizedCropCoord(image_size, scale=(crop, 1.0), ratio=ratio)
     hflip = [RandomHorizontalFlipCoord()]
 
     def compose(photometric):
-        return TransformCompose(crop_t, hflip, photometric, emit_uint8)
+        return TransformCompose(crop_t, hflip, photometric, emit_uint8,
+                                device_photometric)
 
     if aug == "NULL":
         return compose([])

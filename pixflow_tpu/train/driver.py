@@ -186,7 +186,26 @@ def train(cfg: PretrainConfig):
         use_flow_frames=cfg.flow.use_flow_frames and use_flow
         and cfg.data.n_frames > 2,
         alpha1=cfg.flow.alpha1, alpha2=cfg.flow.alpha2,
-        raft_fn=raft_fn)
+        raft_fn=raft_fn,
+        device_aug=getattr(cfg.data, "device_aug", False))
+
+    # reference-exact full-field mask ratio (`util.py:360-366`) for the
+    # logged batch only — the per-step metric is the strided exact-sample
+    # estimate (see configs.RuntimeConfig.mask_ratio_exact)
+    exact_mask_fn = None
+    if (cfg.runtime.mask_ratio_exact and use_flow
+            and cfg.flow.alpha1 is not None and cfg.flow.alpha2 is not None):
+        from ..ops.flow import compose_and_mask, mask_ratio
+
+        @jax.jit
+        def exact_mask_fn(ff, fb):
+            _, _, mf, mb = compose_and_mask(
+                ff.astype(jnp.float32), fb.astype(jnp.float32),
+                flow_up=cfg.flow.flow_up,
+                use_flow_frames=cfg.flow.use_flow_frames,
+                alpha_1=cfg.flow.alpha1, alpha_2=cfg.flow.alpha2,
+                is_norm=cfg.flow.flow_cat_norm)
+            return jnp.mean(mask_ratio(mf)), jnp.mean(mask_ratio(mb))
 
     batch_sharding = (NamedSharding(mesh, P(DATA_AXIS))
                       if mesh is not None else jax.devices()[0])
@@ -238,6 +257,13 @@ def train(cfg: PretrainConfig):
                 if "mask_ratio_fwd" in metrics:
                     extra = (f" mask_r {metrics['mask_ratio_fwd']:.3f}/"
                              f"{metrics['mask_ratio_bwd']:.3f}")
+                if exact_mask_fn is not None and "flows_fwd" in batch:
+                    r_f, r_b = exact_mask_fn(device_batch["flows_fwd"],
+                                             device_batch["flows_bwd"])
+                    metrics["mask_ratio_exact_fwd"] = float(r_f)
+                    metrics["mask_ratio_exact_bwd"] = float(r_b)
+                    extra += (f" mask_r_exact {metrics['mask_ratio_exact_fwd']:.3f}/"
+                              f"{metrics['mask_ratio_exact_bwd']:.3f}")
                 if n_eff is not None:
                     from ..data.datasets import frame_stats
                     mean_f, no_flow_r, _ = frame_stats(n_eff, cfg.data.n_frames)

@@ -47,6 +47,15 @@ def _prep_images(x):
     return x
 
 
+def _prep_images_aug(x, aug_params):
+    """Device-side photometric augmentation (ops/augment.py) + ImageNet
+    normalization: the host pipeline only decodes/crops/flips and samples
+    the parameters, freeing ~10 ms of single-core PIL work per sample."""
+    from ..ops.augment import apply_photometric
+    y = apply_photometric(x, aug_params)
+    return (y / 255.0 - _MEAN) / _STD
+
+
 def _prep_flows(x):
     return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
 
@@ -68,6 +77,7 @@ def make_train_step(
     alpha2: Optional[float] = None,
     mask_ratio_stride: int = 32,
     raft_fn=None,
+    device_aug: bool = False,
     donate: bool = True,
 ):
     """Build the jitted train step.
@@ -82,6 +92,8 @@ def make_train_step(
     if use_flow_frames:
         assert use_flow and raft_fn is None, \
             "multi-span training uses precomputed flow files"
+        assert not device_aug, \
+            "device-side photometric aug is not wired for multi-span crops"
     assert getattr(model, "axis_name", None) is None, \
         "GSPMD step: build the model with axis_name=None (BN stats are " \
         "global through sharding propagation, not named collectives)"
@@ -153,9 +165,14 @@ def make_train_step(
                     train=True, mutable=["batch_stats"],
                     method=model.multi_span_loss)
             else:
+                if device_aug:
+                    im1 = _prep_images_aug(batch["im1"], batch["aug1"])
+                    im2 = _prep_images_aug(batch["im2"], batch["aug2"])
+                else:
+                    im1 = _prep_images(batch["im1"])
+                    im2 = _prep_images(batch["im2"])
                 (loss, stats), mut = model.apply(
-                    variables,
-                    _prep_images(batch["im1"]), _prep_images(batch["im2"]),
+                    variables, im1, im2,
                     batch["coord1"], batch["coord2"],
                     flow_fwd, flow_bwd, mask_fwd, mask_bwd,
                     train=True, mutable=["batch_stats"])

@@ -52,6 +52,7 @@ def _config(synth_root, out_dir, use_flow):
     cfg.flow.flow_root = os.path.join(synth_root, "flow", "pth")
     cfg.flow.alpha1 = 0.01 if use_flow else None
     cfg.flow.alpha2 = 0.5 if use_flow else None
+    cfg.runtime.mask_ratio_exact = use_flow  # exact-telemetry path coverage
     cfg.runtime.output_dir = out_dir
     cfg.runtime.compute_dtype = "float32"
     cfg.runtime.print_freq = 1

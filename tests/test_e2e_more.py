@@ -170,3 +170,25 @@ def test_live_raft_flow_through_driver(tmp_path):
     assert int(state.step) == 1
     assert os.path.exists(os.path.join(str(tmp_path / "out"),
                                        "current.msgpack"))
+
+
+def test_device_aug_through_driver(tmp_path):
+    """--device-aug end-to-end: loader emits uint8 crops + aug params, the
+    compiled step applies the photometric stack on-device."""
+    rng = np.random.default_rng(9)
+    root = tmp_path / "data"
+    for v in range(8):
+        vd = root / "train" / f"v{v:02d}"
+        vd.mkdir(parents=True)
+        for f in range(2):
+            Image.fromarray(rng.integers(0, 255, (48, 64, 3)).astype(
+                np.uint8)).save(vd / f"f{f:02d}.jpg")
+
+    from pixflow_tpu.train.driver import train
+    cfg = _tiny_cfg(str(root), str(tmp_path / "out"))
+    cfg.data.dataset = "bdd100k"
+    cfg.data.aug = "BYOL"
+    cfg.data.n_frames = 2
+    cfg.data.device_aug = True
+    state = train(cfg)
+    assert int(state.step) == 1

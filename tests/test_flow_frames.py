@@ -140,3 +140,28 @@ def test_dataset_emits_frame_crop_stacks(tmp_path):
     assert s["coords1"].shape == (3, 10)
     assert s["flows_fwd"].shape == (3, 5, 8, 2)
     assert int(s["n_frames_eff"]) == 4
+
+
+@pytest.mark.slow
+def test_multispan_ablation_selfcheck_and_monotonicity():
+    """The synthetic multi-span ablation (tools/ablate_multispan.py,
+    docs/DESIGN.md §12): exact flows reproduce the ground-truth masks
+    exactly, and under RAFT-like noise the short-span windows (which only
+    multi-span mode trains on) have better positive-mask precision than
+    the full-span window."""
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..",
+                                      "tools"))
+    from ablate_multispan import run
+
+    rows = run(k=5, sigmas=(0.0, 4.0), seed=0, n_scenes=4)
+    clean = {r["span"]: r for r in rows if r["sigma_px"] == 0.0}
+    noisy = {r["span"]: r for r in rows if r["sigma_px"] == 4.0}
+    for span, r in clean.items():
+        assert r["precision"] == 1.0 and r["recall"] == 1.0, (span, r)
+    assert noisy[1]["precision"] > noisy[5]["precision"]
+    assert noisy[1]["recall"] > noisy[5]["recall"]
+    # multi-span adds strictly more positives than the single-span pair
+    extra = sum(noisy[s]["pred_pos"] for s in (1, 2, 3, 4))
+    assert extra > 3 * noisy[5]["pred_pos"]

@@ -220,8 +220,16 @@ def test_lars_matches_reference(oracle):
                                    rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("small", [True, False])
-def test_raft_numerical_parity(oracle, small):
+@pytest.mark.parametrize("small,iters,res", [
+    (True, 8, (128, 160)),
+    (False, 8, (128, 160)),
+    # recipe iteration count: tolerance must not blow up with GRU depth
+    (True, 12, (128, 160)),
+    (False, 12, (128, 160)),
+    # recipe inference resolution (flow precompute / live path, 360x640)
+    (True, 12, (360, 640)),
+])
+def test_raft_numerical_parity(oracle, small, iters, res):
     """Full RAFT network vs the reference's torch implementation
     (`contrast/flow/raft.py:100-160`): random-init torch weights exported
     through models/raft/convert.py, identical frame pairs, full GRU loop,
@@ -245,7 +253,7 @@ def test_raft_numerical_parity(oracle, small):
     r = np.random.default_rng(7)
     # H, W >= 128: below that the 4-level corr pyramid bottoms out at a 1x1
     # map and the reference's bilinear_sampler divides by (W-1)=0 -> NaN
-    h, w, iters = 128, 160, 8
+    h, w = res
     im1 = r.integers(0, 255, (1, h, w, 3)).astype(np.float32)
     im2 = np.clip(im1 + 8.0 * r.standard_normal((1, h, w, 3)), 0, 255
                   ).astype(np.float32)
@@ -444,6 +452,97 @@ def test_composed_train_step_trajectory_parity(dist_oracle, with_flow):
         assert err < limit, (
             f"param {jax.tree_util.keystr(path)} diverged after {STEPS} "
             f"composed steps: ||diff||={err:.3e} > {limit:.3e}")
+
+
+@pytest.mark.slow
+def test_linear_probe_trajectory_matches_reference(oracle):
+    """Linear-eval oracle: the reference's probe semantics — frozen backbone
+    with LIVE train-mode BN, SGD on fc only, per-iteration warmup scheduler,
+    cross-entropy (`main_linear.py:27-48,169-210`) — run for 5 steps on a
+    tiny torch ResNet-18, then replayed through our
+    `eval/linear.make_linear_train_step` from identical weights/batches.
+    Loss sequence and final fc parameters must agree."""
+    import contrast.resnet as ref_resnet
+    from contrast.lr_scheduler import get_scheduler
+
+    from pixflow_tpu.eval.linear import (
+        linear_optimizer, make_linear_train_step)
+    from pixflow_tpu.models import make_resnet
+    from pixflow_tpu.models.convert_pixpro import torch_pixpro_to_flax
+    from pixflow_tpu.train import TrainState, make_lr_schedule
+
+    import types as _types
+    import torch.nn.functional as F
+
+    # 224 input: the reference 'reduce' head is AvgPool2d(7) over a 7x7 c5
+    STEPS, B, HW, C = 5, 2, 224, 10
+    LR, MOM = 0.3, 0.9
+    EPOCHS, WARMUP, SPE = 10, 1, 10
+
+    torch.manual_seed(40)
+    ref = ref_resnet.resnet18(low_dim=C, head_type="reduce")
+    ref.train()
+    for name, p in ref.named_parameters():
+        if "fc" not in name:
+            p.requires_grad = False
+    init_sd = {"module.encoder." + k: v.detach().clone()
+               for k, v in ref.state_dict().items()}
+
+    opt = torch.optim.SGD(ref.fc.parameters(), lr=LR, momentum=MOM,
+                          weight_decay=0.0)
+    sched_args = _types.SimpleNamespace(
+        lr_scheduler="cosine", epochs=EPOCHS, warmup_epoch=WARMUP,
+        warmup_multiplier=100)
+    scheduler = get_scheduler(opt, SPE, sched_args)
+
+    rng = np.random.default_rng(41)
+    batches = [(rng.standard_normal((B, 3, HW, HW)).astype(np.float32),
+                rng.integers(0, C, B).astype(np.int64))
+               for _ in range(STEPS)]
+
+    ref_losses = []
+    for x, y in batches:
+        out = ref(torch.from_numpy(x))
+        loss = F.cross_entropy(out, torch.from_numpy(y))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        scheduler.step()
+        ref_losses.append(float(loss.detach()))
+    ref_fc_w = ref.fc.weight.detach().numpy()
+    ref_fc_b = ref.fc.bias.detach().numpy()
+
+    # ours, from identical init
+    variables = torch_pixpro_to_flax(init_sd)
+    model = make_resnet("resnet18", head_type="reduce", low_dim=C)
+    lr_sched = make_lr_schedule("cosine", LR, EPOCHS, WARMUP, SPE)
+    tx = linear_optimizer(lr_sched, momentum=MOM, weight_decay=0.0,
+                          params=variables["params"]["encoder"])
+    state = TrainState(
+        step=jnp.zeros([], jnp.int32), ema_k=jnp.zeros([], jnp.int32),
+        params=variables["params"]["encoder"],
+        batch_stats=variables["batch_stats"]["encoder"],
+        opt_state=tx.init(variables["params"]["encoder"]))
+    step = make_linear_train_step(model, tx, lr_sched, donate=False)
+
+    losses = []
+    for x, y in batches:
+        state, metrics = step(state, {
+            "image": jnp.asarray(x.transpose(0, 2, 3, 1)),
+            "label": jnp.asarray(y)})
+        losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(state.params["fc"]["kernel"]), ref_fc_w.T,
+        rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(state.params["fc"]["bias"]), ref_fc_b,
+        rtol=5e-3, atol=1e-5)
+    # frozen trunk must not have moved
+    np.testing.assert_array_equal(
+        np.asarray(state.params["conv1"]["kernel"]),
+        np.asarray(variables["params"]["encoder"]["conv1"]["kernel"]))
 
 
 @pytest.mark.slow
