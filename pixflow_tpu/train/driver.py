@@ -88,6 +88,21 @@ def _make_raft_fn(cfg: PretrainConfig):
 
 
 def train(cfg: PretrainConfig):
+    # preemption-safe checkpointing: TPU VMs get preempted with a SIGTERM
+    # grace window; finish the in-flight step, save, and exit cleanly so
+    # --auto-resume continues. Installed first thing so a TERM during the
+    # (minutes-long) first compile is also handled. (The reference has no
+    # equivalent — a killed run loses the whole epoch.)
+    import signal
+    import threading
+    stop_requested = threading.Event()
+    prev_handler = None
+    try:
+        prev_handler = signal.signal(
+            signal.SIGTERM, lambda *_: stop_requested.set())
+    except ValueError:
+        pass  # not the main thread (e.g. driven from a test harness)
+
     logger = setup_logger(cfg.runtime.output_dir, jax.process_index())
     if jax.process_index() == 0:
         os.makedirs(cfg.runtime.output_dir, exist_ok=True)
@@ -226,9 +241,12 @@ def train(cfg: PretrainConfig):
     # host-side mirror of state.step: fetching the device scalar every
     # iteration would force a device sync per step (costly via tunnels)
     global_step = int(state.step)
-    for epoch in range(start_epoch, max_epoch + 1):
+    try:
+      for epoch in range(start_epoch, max_epoch + 1):
         t_end = time.time()
         for idx, batch in enumerate(loader.epoch(epoch)):
+            if stop_requested.is_set():
+                break
             if cfg.flow.use_flow_frames and cfg.flow.use_flow:
                 n_eff = batch.get("n_frames_eff")
             else:
@@ -306,11 +324,28 @@ def train(cfg: PretrainConfig):
                                       mask_dbg)
             t_end = time.time()
 
+        if stop_requested.is_set():
+            # redo-the-epoch semantics: save as the last COMPLETED epoch so
+            # --auto-resume never skips data (step counter stays exact)
+            if jax.process_index() == 0:
+                path = save_checkpoint(cfg.runtime.output_dir,
+                                       max(epoch - 1, start_epoch - 1),
+                                       state, cfg.to_json())
+                logger.info("SIGTERM: saved preemption checkpoint %s at "
+                            "step %d; exiting cleanly", path, int(state.step))
+            break
+
         if jax.process_index() == 0 and (
                 epoch % cfg.runtime.save_freq == 0 or epoch == max_epoch):
             path = save_checkpoint(cfg.runtime.output_dir, epoch, state,
                                    cfg.to_json())
             logger.info("saved checkpoint %s", path)
+    finally:
+        if prev_handler is not None:
+            try:
+                signal.signal(signal.SIGTERM, prev_handler)
+            except ValueError:
+                pass
 
     if metrics_writer is not None:
         if not cfg.runtime.debug:

@@ -192,3 +192,46 @@ def test_device_aug_through_driver(tmp_path):
     cfg.data.device_aug = True
     state = train(cfg)
     assert int(state.step) == 1
+
+
+def test_sigterm_preemption_checkpoint(tmp_path):
+    """Preemption safety: SIGTERM mid-training finishes the in-flight step,
+    saves a checkpoint as the last completed epoch, and returns cleanly
+    (redo-the-epoch semantics for --auto-resume)."""
+    import signal
+    import threading
+    import time as _time
+
+    rng = np.random.default_rng(11)
+    root = tmp_path / "data"
+    for v in range(16):
+        vd = root / "train" / f"v{v:02d}"
+        vd.mkdir(parents=True)
+        Image.fromarray(rng.integers(0, 255, (48, 64, 3)).astype(
+            np.uint8)).save(vd / "f00.jpg")
+
+    from pixflow_tpu.train.driver import train
+    out = str(tmp_path / "out")
+    cfg = _tiny_cfg(str(root), out)
+    cfg.data.dataset = "bdd100k"
+    cfg.data.batch_size = 1  # 16 videos / global batch 8 -> 2 steps/epoch
+    cfg.optim.epochs = 500   # far more than we let run
+    cfg.runtime.save_freq = 10**6  # only the preemption save can happen
+
+    def fire():
+        # wait until at least one step has completed (metrics.jsonl written
+        # at print_freq=1), then preempt
+        marker = os.path.join(out, "metrics.jsonl")
+        deadline = _time.time() + 900
+        while _time.time() < deadline:
+            if os.path.exists(marker) and os.path.getsize(marker) > 0:
+                signal.raise_signal(signal.SIGTERM)
+                return
+            _time.sleep(0.5)
+
+    t = threading.Thread(target=fire, daemon=True)
+    t.start()
+    state = train(cfg)  # must return, not die
+    t.join(timeout=5)
+    assert 0 < int(state.step) < 1000
+    assert os.path.exists(os.path.join(out, "current.msgpack"))
