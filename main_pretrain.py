@@ -48,6 +48,10 @@ def parse_args() -> PretrainConfig:
                    choices=["thread", "process"],
                    help="decode workers: in-process threads or "
                         "forked processes (GIL-free decode)")
+    p.add_argument("--loader-backend", type=str, default="native",
+                   choices=["native", "grain"],
+                   help="host input backend: built-in ShardedLoader or "
+                        "Google Grain worker orchestration")
     p.add_argument("--mask-ratio-exact", action="store_true",
                    help="log the reference-exact full-field mask ratio for "
                         "the printed batch (materializing telemetry pass) "
@@ -160,6 +164,7 @@ def parse_args() -> PretrainConfig:
         ("decode_scale", d, "decode_scale"),
         ("native_decode", d, "native_decode"),
         ("device_aug", d, "device_aug"),
+        ("loader_backend", d, "loader_backend"),
         ("batch_size", d, "batch_size"),
         ("flow_model", f, "flow_model"), ("alpha1", f, "alpha1"),
         ("alpha2", f, "alpha2"), ("flow_bs", f, "flow_bs"),

@@ -37,6 +37,9 @@ class DataConfig:
     # 'thread' (in-process pool) or 'process' (forked decode
     # workers, the reference DataLoader model; GIL-free)
     worker_mode: str = "thread"
+    # 'native' (ShardedLoader) or 'grain' (Google Grain worker
+    # orchestration — multi-host pods; data/grain_loader.py)
+    loader_backend: str = "native"
     # photometric augmentation on the TPU (ops/augment.py): the host only
     # decodes/crops/flips and samples parameters — frees ~10 ms of PIL work
     # per sample pair; crop/flip geometry is rng-stream-identical

@@ -248,6 +248,11 @@ def build_pretrain_loader(cfg, *, global_batch_size: Optional[int] = None,
     # cfg.data.batch_size is per replica (reference: per GPU); the driver
     # passes the true global batch (= per-replica * n_devices).
     global_batch = global_batch_size or data.batch_size * num_hosts
+    if getattr(data, "loader_backend", "native") == "grain":
+        from .grain_loader import GrainLoader
+        return GrainLoader(dataset, global_batch, num_hosts=num_hosts,
+                           host_id=host_id, seed=cfg.runtime.seed,
+                           num_threads=max(data.num_workers, 0))
     return ShardedLoader(dataset, global_batch, num_hosts=num_hosts,
                          host_id=host_id, seed=cfg.runtime.seed,
                          num_threads=max(data.num_workers, 1),
