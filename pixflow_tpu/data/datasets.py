@@ -297,10 +297,13 @@ class VideoFrameDataset:
             while len(v1) < f_static:
                 v1.append(v1[-1])
                 v2.append(v2[-1])
-            sample["ims1"] = np.stack([a for a, _ in v1])
-            sample["coords1"] = np.stack([c for _, c in v1])
-            sample["ims2"] = np.stack([a for a, _ in v2])
-            sample["coords2"] = np.stack([c for _, c in v2])
+            sample["ims1"] = np.stack([o[0] for o in v1])
+            sample["coords1"] = np.stack([o[1] for o in v1])
+            sample["ims2"] = np.stack([o[0] for o in v2])
+            sample["coords2"] = np.stack([o[1] for o in v2])
+            if len(v1[0]) == 3:  # device-photometric: per-frame aug params
+                sample["augs1"] = np.stack([o[2] for o in v1])
+                sample["augs2"] = np.stack([o[2] for o in v2])
 
         if self.use_flow_file and self.two_crop and self.n_flows > 0:
             video_name = os.path.basename(os.path.dirname(frames[0][0]))

@@ -50,9 +50,16 @@ def _prep_images(x):
 def _prep_images_aug(x, aug_params):
     """Device-side photometric augmentation (ops/augment.py) + ImageNet
     normalization: the host pipeline only decodes/crops/flips and samples
-    the parameters, freeing ~10 ms of single-core PIL work per sample."""
+    the parameters, freeing ~10 ms of single-core PIL work per sample.
+    Accepts [B,H,W,3] crops or [B,F,H,W,3] multi-span stacks."""
     from ..ops.augment import apply_photometric
-    y = apply_photometric(x, aug_params)
+    if x.ndim == 5:  # [B, F, H, W, 3] + params [B, F, P]
+        b, f = x.shape[:2]
+        y = apply_photometric(x.reshape((b * f,) + x.shape[2:]),
+                              aug_params.reshape(b * f, -1))
+        y = y.reshape((b, f) + y.shape[1:])
+    else:
+        y = apply_photometric(x, aug_params)
     return (y / 255.0 - _MEAN) / _STD
 
 
@@ -92,8 +99,6 @@ def make_train_step(
     if use_flow_frames:
         assert use_flow and raft_fn is None, \
             "multi-span training uses precomputed flow files"
-        assert not device_aug, \
-            "device-side photometric aug is not wired for multi-span crops"
     assert getattr(model, "axis_name", None) is None, \
         "GSPMD step: build the model with axis_name=None (BN stats are " \
         "global through sharding propagation, not named collectives)"
@@ -156,9 +161,14 @@ def make_train_step(
             if use_flow_frames:
                 from ..ops.flow import span_windows
                 spans = span_windows(batch["flows_fwd"].shape[1])
+                if device_aug:
+                    ims1 = _prep_images_aug(batch["ims1"], batch["augs1"])
+                    ims2 = _prep_images_aug(batch["ims2"], batch["augs2"])
+                else:
+                    ims1 = _prep_images(batch["ims1"])
+                    ims2 = _prep_images(batch["ims2"])
                 (loss, stats), mut = model.apply(
-                    variables,
-                    _prep_images(batch["ims1"]), _prep_images(batch["ims2"]),
+                    variables, ims1, ims2,
                     batch["coords1"], batch["coords2"],
                     flow_fwd, flow_bwd, mask_fwd, mask_bwd,
                     spans, batch["n_frames_eff"],

@@ -165,3 +165,55 @@ def test_multispan_ablation_selfcheck_and_monotonicity():
     # multi-span adds strictly more positives than the single-span pair
     extra = sum(noisy[s]["pred_pos"] for s in (1, 2, 3, 4))
     assert extra > 3 * noisy[5]["pred_pos"]
+
+
+def test_multispan_device_aug_through_driver(tmp_path):
+    """Multi-span + --device-aug: per-frame crop stacks carry per-frame aug
+    params; the step applies the photometric stack to the [B,F,...] stacks
+    on-device."""
+    import os
+    import torch
+    from PIL import Image
+
+    rng = np.random.default_rng(15)
+    root = tmp_path / "data"
+    for v in range(8):
+        vd = root / "train" / f"v{v:02d}"
+        vd.mkdir(parents=True)
+        for f in range(4):
+            Image.fromarray(rng.integers(0, 255, (48, 64, 3)).astype(
+                np.uint8)).save(vd / f"f{f:02d}.jpg")
+    for d in ("forward", "backward"):
+        (root / "flow" / "train" / d).mkdir(parents=True)
+        for v in range(8):
+            torch.save(torch.randn(3, 2, 6, 8),
+                       root / "flow" / "train" / d / f"v{v:02d}.pth")
+
+    from pixflow_tpu.configs import PretrainConfig
+    from pixflow_tpu.train.driver import train
+    cfg = PretrainConfig()
+    cfg.data.data_dir = str(root)
+    cfg.data.dataset = "bdd100k"
+    cfg.data.aug = "BYOL"
+    cfg.data.crop = 0.5
+    cfg.data.image_size = 64
+    cfg.data.n_frames = 4
+    cfg.data.batch_size = 1
+    cfg.data.num_workers = 1
+    cfg.data.device_aug = True
+    cfg.model.arch = "resnet18"
+    cfg.model.pixpro_transform_layer = 1
+    cfg.flow.use_flow = True
+    cfg.flow.use_flow_file = True
+    cfg.flow.use_flow_frames = True
+    cfg.flow.flow_root = str(root / "flow")
+    cfg.flow.alpha1 = 0.01
+    cfg.flow.alpha2 = 0.5
+    cfg.optim.epochs = 1
+    cfg.optim.warmup_epoch = 0
+    cfg.runtime.output_dir = str(tmp_path / "out")
+    cfg.runtime.compute_dtype = "float32"
+    cfg.runtime.print_freq = 1
+    cfg.runtime.save_freq = 1
+    state = train(cfg)
+    assert int(state.step) == 1
