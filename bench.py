@@ -110,6 +110,7 @@ def main():
         m = momentum_schedule(st.ema_k, 2000 * 68, 0.99)
         params = ema_update(st.params, m)
         telemetry = 0.0
+        with_telemetry = os.environ.get("BENCH_TELEMETRY", "1") == "1"
         if flow_up and flow_lazy:
             # the TPU-native flow_up path the train step uses: lazy
             # point-domain composition + strided mask-ratio telemetry
@@ -121,9 +122,10 @@ def main():
             ff = LazyFlowUp(flows=fwd, flows_rev=bwd, alpha1=0.01, alpha2=0.5)
             fb = LazyFlowUp(flows=bwd, flows_rev=fwd, alpha1=0.01, alpha2=0.5)
             mf = mb = None
-            telemetry = 0.0 * (
-                jnp.mean(mask_ratio_estimate(fwd, bwd, 0.01, 0.5))
-                + jnp.mean(mask_ratio_estimate(bwd, fwd, 0.01, 0.5)))
+            if with_telemetry:
+                telemetry = 1e-20 * (
+                    jnp.mean(mask_ratio_estimate(fwd, bwd, 0.01, 0.5))
+                    + jnp.mean(mask_ratio_estimate(bwd, fwd, 0.01, 0.5)))
         else:
             ff, fb, mf, mb = compose_and_mask(
                 bt["flows_fwd"], bt["flows_bwd"], flow_up=flow_up,

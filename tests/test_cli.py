@@ -104,3 +104,19 @@ def test_cli_round2_flags():
     # recipes keep the fused default unless explicitly disabled
     cfg = _parse(["--recipe", "pretrain_bdd100k_2000ep_nframe6"])
     assert cfg.model.fuse_views is True
+
+
+def test_multihost_rendezvous_missing_vars_fail_fast():
+    """Partial rendezvous config must fail loudly, not hang the pod."""
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ, JAX_COORDINATOR_ADDRESS="127.0.0.1:12345")
+    env.pop("JAX_NUM_PROCESSES", None)
+    env.pop("JAX_PROCESS_ID", None)
+    r = subprocess.run(
+        [sys.executable, "main_pretrain_multihost.py"], env=env,
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode != 0
+    assert "rendezvous variables are required" in (r.stderr + r.stdout)
