@@ -52,6 +52,15 @@ def parse_args() -> PretrainConfig:
                    choices=["native", "grain"],
                    help="host input backend: built-in ShardedLoader or "
                         "Google Grain worker orchestration")
+    p.add_argument("--checkpoint-backend", type=str, default="msgpack",
+                   choices=["msgpack", "orbax"],
+                   help="single atomic msgpack files, or orbax "
+                        "CheckpointManager (multi-host sharded saves)")
+    p.add_argument("--wandb", action="store_true",
+                   help="log to Weights & Biases (auto-composed run name, "
+                        "config + artifact upload; reference logger.py)")
+    p.add_argument("--wandb-project", type=str, default="pixflow-tpu")
+    p.add_argument("--wandb-entity", type=str, default="")
     p.add_argument("--mask-ratio-exact", action="store_true",
                    help="log the reference-exact full-field mask ratio for "
                         "the printed batch (materializing telemetry pass) "
@@ -190,6 +199,9 @@ def parse_args() -> PretrainConfig:
         ("debug_epochs", r, "debug_epochs"), ("verbose", r, "verbose"),
         ("compute_dtype", r, "compute_dtype"), ("mesh_shape", r, "mesh_shape"),
         ("mask_ratio_exact", r, "mask_ratio_exact"),
+        ("wandb", r, "wandb"), ("wandb_project", r, "wandb_project"),
+        ("wandb_entity", r, "wandb_entity"),
+        ("checkpoint_backend", r, "checkpoint_backend"),
     ]:
         if not a.recipe or given(field_):
             setattr(dst, attr, getattr(a, field_))

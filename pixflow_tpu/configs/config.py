@@ -125,6 +125,9 @@ class RuntimeConfig:
     # the reference-exact full-field ratio (util.py:360-366) for the logged
     # batch at every print_freq interval (materializing pass, telemetry only)
     mask_ratio_exact: bool = False
+    # 'msgpack' (single atomic file, utils/checkpoint.py) or 'orbax'
+    # (multi-host CheckpointManager saves, utils/checkpoint_orbax.py)
+    checkpoint_backend: str = "msgpack"
     tensorboard: bool = True           # tf.summary scalars next to metrics.jsonl
     wandb: bool = False
     wandb_project: str = "pixflow-tpu"

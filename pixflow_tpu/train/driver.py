@@ -174,23 +174,44 @@ def train(cfg: PretrainConfig):
         logger.info("loaded pretrained model %s (epoch %s)",
                     cfg.runtime.pretrained_model, pub.get("epoch"))
 
+    ckpt_backend = getattr(cfg.runtime, "checkpoint_backend", "msgpack")
+
+    def _save_ckpt(epoch_, state_):
+        if ckpt_backend == "orbax":
+            from ..utils.checkpoint_orbax import save_checkpoint_orbax
+            return save_checkpoint_orbax(cfg.runtime.output_dir, epoch_,
+                                         state_, cfg.to_json())
+        return save_checkpoint(cfg.runtime.output_dir, epoch_, state_,
+                               cfg.to_json())
+
     start_epoch = cfg.optim.start_epoch
     resume_path = cfg.runtime.resume
-    if cfg.runtime.auto_resume and not resume_path:
-        resume_path = latest_checkpoint(cfg.runtime.output_dir) or ""
-    if resume_path:
-        state, ckpt_epoch, _ = load_checkpoint(resume_path, state)
-        start_epoch = ckpt_epoch + 1
-        logger.info("resumed from %s (epoch %d, step %d)",
-                    resume_path, ckpt_epoch, int(state.step))
+    if ckpt_backend == "orbax" and cfg.runtime.auto_resume and not resume_path:
+        from ..utils.checkpoint_orbax import (latest_checkpoint_orbax,
+                                              load_checkpoint_orbax)
+        step = latest_checkpoint_orbax(cfg.runtime.output_dir)
+        if step is not None:
+            state, ckpt_epoch, _ = load_checkpoint_orbax(
+                cfg.runtime.output_dir, state)
+            start_epoch = ckpt_epoch + 1
+            logger.info("resumed from orbax step %d (epoch %d)",
+                        step, ckpt_epoch)
+    else:
+        if cfg.runtime.auto_resume and not resume_path:
+            resume_path = latest_checkpoint(cfg.runtime.output_dir) or ""
+        if resume_path:
+            state, ckpt_epoch, _ = load_checkpoint(resume_path, state)
+            start_epoch = ckpt_epoch + 1
+            logger.info("resumed from %s (epoch %d, step %d)",
+                        resume_path, ckpt_epoch, int(state.step))
 
     use_flow = cfg.flow.use_flow
     raft_fn = None
     if use_flow and not cfg.flow.use_flow_file:
         raft_fn = _make_raft_fn(cfg)
 
-    step_fn = make_train_step(
-        model, tx, lr_schedule=lr_schedule,
+    step_kwargs = dict(
+        lr_schedule=lr_schedule,
         ema_total_steps=ema_total,
         ema_base_momentum=cfg.model.pixpro_momentum,
         mesh=mesh, use_flow=use_flow,
@@ -203,6 +224,16 @@ def train(cfg: PretrainConfig):
         alpha1=cfg.flow.alpha1, alpha2=cfg.flow.alpha2,
         raft_fn=raft_fn,
         device_aug=getattr(cfg.data, "device_aug", False))
+    step_fn = make_train_step(model, tx, **step_kwargs)
+    # the in-step strided mask telemetry costs ~12% of the whole step on
+    # the lazy flow_up path (763 -> 875 img/s measured); un-logged steps
+    # therefore run a telemetry-free compilation of the same program
+    step_fn_fast = step_fn
+    if (use_flow and cfg.flow.flow_up and cfg.flow.flow_up_lazy
+            and raft_fn is None and cfg.runtime.print_freq > 1
+            and cfg.flow.alpha1 is not None):
+        step_fn_fast = make_train_step(model, tx, flow_telemetry=False,
+                                       **step_kwargs)
 
     # reference-exact full-field mask ratio (`util.py:360-366`) for the
     # logged batch only — the per-step metric is the strided exact-sample
@@ -259,7 +290,10 @@ def train(cfg: PretrainConfig):
             if cfg.runtime.profile_dir and global_step == 10 and not profiling:
                 jax.profiler.start_trace(cfg.runtime.profile_dir)
                 profiling = True
-            state, metrics = step_fn(state, device_batch)
+            logged_step = (idx % cfg.runtime.print_freq == 0
+                           or idx == steps_per_epoch - 1)
+            fn = step_fn if logged_step else step_fn_fast
+            state, metrics = fn(state, device_batch)
             global_step += 1
             if profiling and global_step >= 15:
                 jax.profiler.stop_trace()
@@ -267,7 +301,7 @@ def train(cfg: PretrainConfig):
                 logger.info("profiler trace written to %s",
                             cfg.runtime.profile_dir)
 
-            if idx % cfg.runtime.print_freq == 0 or idx == steps_per_epoch - 1:
+            if logged_step:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 loss_meter.update(metrics["loss"], global_batch)
                 time_meter.update(time.time() - t_end)
@@ -328,17 +362,14 @@ def train(cfg: PretrainConfig):
             # redo-the-epoch semantics: save as the last COMPLETED epoch so
             # --auto-resume never skips data (step counter stays exact)
             if jax.process_index() == 0:
-                path = save_checkpoint(cfg.runtime.output_dir,
-                                       max(epoch - 1, start_epoch - 1),
-                                       state, cfg.to_json())
+                path = _save_ckpt(max(epoch - 1, start_epoch - 1), state)
                 logger.info("SIGTERM: saved preemption checkpoint %s at "
                             "step %d; exiting cleanly", path, int(state.step))
             break
 
         if jax.process_index() == 0 and (
                 epoch % cfg.runtime.save_freq == 0 or epoch == max_epoch):
-            path = save_checkpoint(cfg.runtime.output_dir, epoch, state,
-                                   cfg.to_json())
+            path = _save_ckpt(epoch, state)
             logger.info("saved checkpoint %s", path)
     finally:
         if prev_handler is not None:

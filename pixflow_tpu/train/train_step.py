@@ -83,6 +83,7 @@ def make_train_step(
     alpha1: Optional[float] = None,
     alpha2: Optional[float] = None,
     mask_ratio_stride: int = 32,
+    flow_telemetry: bool = True,
     raft_fn=None,
     device_aug: bool = False,
     donate: bool = True,
@@ -139,10 +140,14 @@ def make_train_step(
                         flow_bwd.append(lazy(bw, fw))
                 else:
                     flow_fwd, flow_bwd = lazy(fwd, bwd), lazy(bwd, fwd)
-                if alpha1 is not None and alpha2 is not None:
+                if flow_telemetry and alpha1 is not None and alpha2 is not None:
                     # telemetry on the full-span window: exact mask values
                     # on a strided fine grid (the reference averages all
-                    # 720x1280 pixels; this is the same statistic sampled)
+                    # 720x1280 pixels; this is the same statistic sampled).
+                    # This costs ~12% of the whole step (763 -> 875 img/s
+                    # measured) — the driver therefore compiles a second
+                    # telemetry-free variant and runs this one only on
+                    # logged steps (flow_telemetry=False elsewhere).
                     lazy_mask_metrics = (
                         jnp.mean(mask_ratio_estimate(
                             fwd, bwd, alpha1, alpha2, flow_cat_norm,

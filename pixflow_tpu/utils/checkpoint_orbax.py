@@ -1,0 +1,80 @@
+"""Orbax checkpoint backend (optional, multi-host production saves).
+
+The default backend (`utils/checkpoint.py`) writes one atomic msgpack file
+per save — simple, single-host, whole-tree-in-memory. On pods, Orbax is
+the standard: every host writes its shard of the (possibly sharded) arrays
+concurrently, saves are atomic at the directory level, retention is
+managed, and restore reproduces the original shardings. This module
+exposes the same (save/load/latest) surface over
+`orbax.checkpoint.CheckpointManager`, storing the same logical payload:
+the TrainState pytree plus {epoch, config, extra} metadata.
+
+Select with `PretrainConfig.runtime.checkpoint_backend = "orbax"` (CLI
+`--checkpoint-backend orbax`). Checkpoints live under
+`<output_dir>/orbax/<step>/`; `latest_checkpoint_orbax` resolves the
+newest step for auto-resume. The two backends are independent — a run
+resumes from whichever backend wrote its checkpoints."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+ORBAX_DIR = "orbax"
+
+
+def _manager(output_dir: str, create: bool = True):
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(os.path.abspath(output_dir), ORBAX_DIR)
+    if create:
+        os.makedirs(path, exist_ok=True)
+    options = ocp.CheckpointManagerOptions(create=create)
+    return ocp.CheckpointManager(path, options=options)
+
+
+def save_checkpoint_orbax(output_dir: str, epoch: int, state,
+                          config_json: str = "",
+                          extra: Optional[dict] = None) -> str:
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(output_dir)
+    step = int(state.step)
+    meta = {"epoch": int(epoch), "config": config_json,
+            "extra": json.dumps(extra or {})}
+    mgr.save(step, args=ocp.args.Composite(
+        state=ocp.args.StandardSave(state),
+        meta=ocp.args.JsonSave(meta)))
+    mgr.wait_until_finished()
+    mgr.close()
+    return os.path.join(output_dir, ORBAX_DIR, str(step))
+
+
+def latest_checkpoint_orbax(output_dir: str) -> Optional[int]:
+    """Newest saved step, or None."""
+    path = os.path.join(os.path.abspath(output_dir), ORBAX_DIR)
+    if not os.path.isdir(path):
+        return None
+    mgr = _manager(output_dir, create=False)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def load_checkpoint_orbax(output_dir: str, state_template,
+                          step: Optional[int] = None
+                          ) -> Tuple[object, int, dict]:
+    """Restore (state, epoch, extra); step=None loads the newest."""
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(output_dir, create=False)
+    step = mgr.latest_step() if step is None else step
+    assert step is not None, f"no orbax checkpoints under {output_dir}"
+    restored = mgr.restore(step, args=ocp.args.Composite(
+        state=ocp.args.StandardRestore(state_template),
+        meta=ocp.args.JsonRestore()))
+    mgr.close()
+    meta = restored["meta"]
+    return (restored["state"], int(meta["epoch"]),
+            json.loads(meta.get("extra", "{}")))

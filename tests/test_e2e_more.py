@@ -235,3 +235,33 @@ def test_sigterm_preemption_checkpoint(tmp_path):
     t.join(timeout=5)
     assert 0 < int(state.step) < 1000
     assert os.path.exists(os.path.join(out, "current.msgpack"))
+
+
+def test_orbax_backend_through_driver(tmp_path):
+    """--checkpoint-backend orbax: driver saves via CheckpointManager and
+    auto-resumes from the newest step."""
+    import pytest as _pytest
+    _pytest.importorskip("orbax.checkpoint")
+    rng = np.random.default_rng(21)
+    root = tmp_path / "data"
+    for v in range(8):
+        vd = root / "train" / f"v{v:02d}"
+        vd.mkdir(parents=True)
+        Image.fromarray(rng.integers(0, 255, (48, 64, 3)).astype(
+            np.uint8)).save(vd / "f00.jpg")
+
+    from pixflow_tpu.train.driver import train
+    out = str(tmp_path / "out")
+    cfg = _tiny_cfg(str(root), out)
+    cfg.data.dataset = "bdd100k"
+    cfg.runtime.checkpoint_backend = "orbax"
+    state1 = train(cfg)
+    assert os.path.isdir(os.path.join(out, "orbax"))
+
+    cfg2 = _tiny_cfg(str(root), out)
+    cfg2.data.dataset = "bdd100k"
+    cfg2.runtime.checkpoint_backend = "orbax"
+    cfg2.runtime.auto_resume = True
+    cfg2.optim.epochs = 2
+    state2 = train(cfg2)
+    assert int(state2.step) == int(state1.step) + 1

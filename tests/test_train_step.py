@@ -199,3 +199,37 @@ def test_fused_views_match_on_mesh(mesh):
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4),
         su.batch_stats, sf.batch_stats)
+
+
+def test_flow_telemetry_off_variant(mesh):
+    """The telemetry-free step (what the driver runs between logged steps)
+    must produce the same loss/pos_num as the telemetry variant and simply
+    omit the mask-ratio metrics."""
+    kw = dict(arch="resnet18", pixpro_p=2.0, pixpro_transform_layer=1,
+              pixpro_pos_ratio=0.7, proj_inner_dim=64, proj_out_dim=32)
+    batch = _batch(True)
+    lr = warmup_cosine(0.1, epochs=10, warmup_epoch=1, steps_per_epoch=5)
+
+    results = {}
+    for telemetry in (True, False):
+        model = PixPro(**kw)
+        tx0 = lars_sgd(lr, weight_decay=1e-5)
+        state = create_train_state(jax.random.PRNGKey(0), model, tx0,
+                                   {"im1": batch["im1"][:1]})
+        tx = lars_sgd(lr, weight_decay=1e-5,
+                      frozen_mask=frozen_momentum_branch_mask(state.params))
+        state = state.replace(opt_state=tx.init(state.params))
+        step = make_train_step(
+            model, tx, lr_schedule=lr, ema_total_steps=50,
+            ema_base_momentum=0.99, mesh=mesh, use_flow=True, flow_up=True,
+            flow_telemetry=telemetry, alpha1=0.01, alpha2=0.5, donate=False)
+        _, metrics = step(state, batch)
+        results[telemetry] = metrics
+
+    assert "mask_ratio_fwd" in results[True]
+    assert "mask_ratio_fwd" not in results[False]
+    np.testing.assert_allclose(float(results[False]["loss"]),
+                               float(results[True]["loss"]),
+                               rtol=1e-6, atol=1e-6)
+    assert (float(results[False]["pos_num"])
+            == float(results[True]["pos_num"]))

@@ -259,3 +259,34 @@ def test_publish_momentum_branch(tmp_path):
                                   5.0)
     np.testing.assert_array_equal(
         np.asarray(pub["batch_stats"]["encoder"]["mean"]), 7.0)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax backend: save/latest/load roundtrip preserves the TrainState
+    tree (incl. the EMA ramp counter) and the metadata."""
+    pytest.importorskip("orbax.checkpoint")
+    import jax.numpy as jnp
+    from pixflow_tpu.train.state import TrainState
+    from pixflow_tpu.utils.checkpoint_orbax import (
+        latest_checkpoint_orbax, load_checkpoint_orbax, save_checkpoint_orbax)
+
+    state = TrainState(
+        step=jnp.asarray(7, jnp.int32), ema_k=jnp.asarray(5, jnp.int32),
+        params={"w": jnp.arange(6.0).reshape(2, 3)},
+        batch_stats={"m": jnp.ones((3,))},
+        opt_state={"mom": jnp.full((2, 3), 0.5)})
+    out = str(tmp_path / "run")
+    assert latest_checkpoint_orbax(out) is None
+    save_checkpoint_orbax(out, epoch=3, state=state, config_json="{}",
+                          extra={"k": 1})
+    assert latest_checkpoint_orbax(out) == 7
+
+    template = TrainState(
+        step=jnp.zeros([], jnp.int32), ema_k=jnp.zeros([], jnp.int32),
+        params={"w": jnp.zeros((2, 3))}, batch_stats={"m": jnp.zeros((3,))},
+        opt_state={"mom": jnp.zeros((2, 3))})
+    got, epoch, extra = load_checkpoint_orbax(out, template)
+    assert epoch == 3 and extra == {"k": 1}
+    assert int(got.step) == 7 and int(got.ema_k) == 5
+    np.testing.assert_array_equal(np.asarray(got.params["w"]),
+                                  np.arange(6.0).reshape(2, 3))
