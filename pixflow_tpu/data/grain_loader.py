@@ -80,7 +80,8 @@ class GrainLoader:
 
         return _Fetch()
 
-    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, epoch: int,
+              skip_batches: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         pg = self._pg
         sampler = pg.IndexSampler(
             num_records=len(self.dataset),
@@ -104,6 +105,8 @@ class GrainLoader:
         for i, batch in enumerate(loader):
             if i >= n_batches:
                 break
+            if i < skip_batches:  # step-exact resume (decode-and-drop;
+                continue          # grain owns its iterator state)
             yield {k: np.asarray(v) for k, v in batch.items()
                    if v is not None}
 

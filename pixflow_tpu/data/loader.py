@@ -115,10 +115,19 @@ class ShardedLoader:
             order = np.concatenate([order, order[: total - n]])
         return order[self.host_id::self.num_hosts]
 
-    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, epoch: int,
+              skip_batches: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate one epoch; skip_batches fast-forwards past the first N
+        batches WITHOUT decoding them (indices and per-sample rngs are
+        deterministic in (seed, epoch, index), so the remaining stream is
+        bit-identical to an uninterrupted epoch — step-exact preemption
+        resume)."""
         indices = self._epoch_indices(epoch)
         bs = self.local_batch_size
         n_batches = len(self)
+        if skip_batches:
+            indices = indices[skip_batches * bs:]
+            n_batches = max(n_batches - skip_batches, 0)
         base_seed = self.seed * 7919 + epoch * 104729 + self.host_id
 
         def fetch(i):

@@ -176,22 +176,24 @@ def train(cfg: PretrainConfig):
 
     ckpt_backend = getattr(cfg.runtime, "checkpoint_backend", "msgpack")
 
-    def _save_ckpt(epoch_, state_):
+    def _save_ckpt(epoch_, state_, extra_=None):
         if ckpt_backend == "orbax":
             from ..utils.checkpoint_orbax import save_checkpoint_orbax
             return save_checkpoint_orbax(cfg.runtime.output_dir, epoch_,
-                                         state_, cfg.to_json())
+                                         state_, cfg.to_json(), extra=extra_)
         return save_checkpoint(cfg.runtime.output_dir, epoch_, state_,
-                               cfg.to_json())
+                               cfg.to_json(), extra=extra_)
 
     start_epoch = cfg.optim.start_epoch
+    resume_skip, resume_skip_epoch = 0, -1
     resume_path = cfg.runtime.resume
+    ckpt_extra = {}
     if ckpt_backend == "orbax" and cfg.runtime.auto_resume and not resume_path:
         from ..utils.checkpoint_orbax import (latest_checkpoint_orbax,
                                               load_checkpoint_orbax)
         step = latest_checkpoint_orbax(cfg.runtime.output_dir)
         if step is not None:
-            state, ckpt_epoch, _ = load_checkpoint_orbax(
+            state, ckpt_epoch, ckpt_extra = load_checkpoint_orbax(
                 cfg.runtime.output_dir, state)
             start_epoch = ckpt_epoch + 1
             logger.info("resumed from orbax step %d (epoch %d)",
@@ -200,10 +202,18 @@ def train(cfg: PretrainConfig):
         if cfg.runtime.auto_resume and not resume_path:
             resume_path = latest_checkpoint(cfg.runtime.output_dir) or ""
         if resume_path:
-            state, ckpt_epoch, _ = load_checkpoint(resume_path, state)
+            state, ckpt_epoch, ckpt_extra = load_checkpoint(resume_path, state)
             start_epoch = ckpt_epoch + 1
             logger.info("resumed from %s (epoch %d, step %d)",
                         resume_path, ckpt_epoch, int(state.step))
+    if ckpt_extra.get("resume_idx"):
+        # step-exact preemption resume: re-enter the interrupted epoch and
+        # fast-forward its deterministic stream past the completed batches
+        start_epoch = int(ckpt_extra["resume_epoch"])
+        resume_skip = int(ckpt_extra["resume_idx"])
+        resume_skip_epoch = start_epoch
+        logger.info("step-exact resume: epoch %d from batch %d",
+                    start_epoch, resume_skip)
 
     use_flow = cfg.flow.use_flow
     raft_fn = None
@@ -275,8 +285,12 @@ def train(cfg: PretrainConfig):
     try:
       for epoch in range(start_epoch, max_epoch + 1):
         t_end = time.time()
-        for idx, batch in enumerate(loader.epoch(epoch)):
+        skip = resume_skip if epoch == resume_skip_epoch else 0
+        preempt_idx = None
+        for idx, batch in enumerate(loader.epoch(epoch, skip_batches=skip),
+                                    start=skip):
             if stop_requested.is_set():
+                preempt_idx = idx  # this batch has NOT been stepped
                 break
             if cfg.flow.use_flow_frames and cfg.flow.use_flow:
                 n_eff = batch.get("n_frames_eff")
@@ -359,12 +373,20 @@ def train(cfg: PretrainConfig):
             t_end = time.time()
 
         if stop_requested.is_set():
-            # redo-the-epoch semantics: save as the last COMPLETED epoch so
-            # --auto-resume never skips data (step counter stays exact)
+            # step-exact preemption: record (epoch, next batch) so resume
+            # fast-forwards the deterministic loader stream — no redone
+            # steps, no skipped data, step counter exact
             if jax.process_index() == 0:
-                path = _save_ckpt(max(epoch - 1, start_epoch - 1), state)
+                extra = ({"resume_epoch": epoch, "resume_idx": preempt_idx}
+                         if preempt_idx else None)
+                # TERM after the epoch's last batch: the epoch IS complete
+                done = epoch if preempt_idx is None else epoch - 1
+                path = _save_ckpt(max(done, start_epoch - 1), state, extra)
                 logger.info("SIGTERM: saved preemption checkpoint %s at "
-                            "step %d; exiting cleanly", path, int(state.step))
+                            "step %d (resume %s); exiting cleanly",
+                            path, int(state.step),
+                            f"epoch {epoch} batch {preempt_idx}"
+                            if preempt_idx else f"epoch {epoch}")
             break
 
         if jax.process_index() == 0 and (

@@ -250,3 +250,31 @@ def test_load_image_decode_scale(tmp_path):
     p2 = str(tmp_path / "f.png")
     PILImage.fromarray(rng.integers(0, 255, (64, 96, 3), np.uint8)).save(p2)
     assert load_image(p2, decode_scale=2).size == (96, 64)
+
+
+def test_loader_skip_batches_bit_exact(tmp_path):
+    """epoch(e, skip_batches=n) yields exactly the tail of epoch(e) —
+    the foundation of step-exact preemption resume."""
+    from PIL import Image
+    from pixflow_tpu.data.datasets import VideoFrameDataset, list_image_folder
+    from pixflow_tpu.data.loader import ShardedLoader
+    from pixflow_tpu.data.transforms import get_transform
+
+    rng = np.random.default_rng(8)
+    for v in range(12):
+        d = tmp_path / "train" / f"v{v:02d}"
+        d.mkdir(parents=True)
+        Image.fromarray(rng.integers(0, 255, (40, 56, 3)).astype(
+            np.uint8)).save(d / "f00.jpg")
+    ds = VideoFrameDataset(
+        samples=list_image_folder(str(tmp_path / "train"), "bdd100k"),
+        transform=get_transform("BYOL", 0.5, 32, emit_uint8=True),
+        n_frames=1, two_crop=True, video_mode=True)
+    loader = ShardedLoader(ds, 4, seed=9, num_threads=1)
+
+    full = list(loader.epoch(3))
+    tail = list(loader.epoch(3, skip_batches=2))
+    assert len(tail) == len(full) - 2
+    for a, b in zip(full[2:], tail):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])

@@ -196,8 +196,9 @@ def test_device_aug_through_driver(tmp_path):
 
 def test_sigterm_preemption_checkpoint(tmp_path):
     """Preemption safety: SIGTERM mid-training finishes the in-flight step,
-    saves a checkpoint as the last completed epoch, and returns cleanly
-    (redo-the-epoch semantics for --auto-resume)."""
+    saves a checkpoint recording (epoch, next batch), and returns cleanly;
+    --auto-resume then continues STEP-EXACTLY (no redone steps, no skipped
+    data — the loader stream is deterministic and fast-forwardable)."""
     import signal
     import threading
     import time as _time
@@ -233,8 +234,19 @@ def test_sigterm_preemption_checkpoint(tmp_path):
     t.start()
     state = train(cfg)  # must return, not die
     t.join(timeout=5)
-    assert 0 < int(state.step) < 1000
+    steps_done = int(state.step)
+    assert 0 < steps_done < 1000
     assert os.path.exists(os.path.join(out, "current.msgpack"))
+
+    # resume to a small fixed horizon: total steps must be EXACTLY
+    # epochs * steps_per_epoch — nothing redone, nothing skipped
+    cfg2 = _tiny_cfg(str(root), out)
+    cfg2.data.dataset = "bdd100k"
+    cfg2.data.batch_size = 1
+    cfg2.optim.epochs = 3
+    cfg2.runtime.auto_resume = True
+    state2 = train(cfg2)
+    assert int(state2.step) == 3 * 2, (steps_done, int(state2.step))
 
 
 def test_orbax_backend_through_driver(tmp_path):
