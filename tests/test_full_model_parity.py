@@ -174,3 +174,61 @@ def test_full_backward_gradient_parity(ref_env):
                                    rtol=2e-3, atol=2e-3 * scale_p)
     # momentum branch must receive no gradient
     assert np.allclose(np.asarray(grads["encoder_k"]["conv1"]["kernel"]), 0.0)
+
+
+@pytest.mark.slow
+def test_instance_branch_forward_parity(ref_env):
+    """Full-model forward with the BYOL instance branch enabled
+    (--pixpro-ins-loss-weight > 0; reference `PixPro.py:306-319,387-394,
+    409-416,434-437`): identical imported weights must produce the same
+    combined loss. 224px input: the reference's AvgPool2d(7) over a 7x7 c5
+    equals our global mean exactly."""
+    ref_pixpro_mod = ref_env
+    from pixflow_tpu.models import PixPro
+    from pixflow_tpu.models.convert_pixpro import torch_pixpro_to_flax
+    import contrast.resnet as ref_resnet
+
+    args = types.SimpleNamespace(
+        pixpro_p=2.0, pixpro_momentum=0.99, pixpro_pos_ratio=0.7,
+        pixpro_clamp_value=0.0, pixpro_transform_layer=1,
+        pixpro_ins_loss_weight=1.0, num_instances=1024, batch_size=8,
+        epochs=10, start_epoch=1, output_dir="/tmp/refout",
+        feature_dim=256, head_type="early_return")
+    torch.manual_seed(2)
+    ref_model = ref_pixpro_mod.PixPro(ref_resnet.resnet50, args)
+    _desync_batchnorm(ref_model)
+    ref_model.train()
+
+    sd = {"module." + k: v for k, v in ref_model.state_dict().items()}
+    variables = torch_pixpro_to_flax(sd)
+
+    rng = np.random.default_rng(17)
+    b, hw = 2, 224
+    im1 = rng.standard_normal((b, 3, hw, hw)).astype(np.float32)
+    im2 = rng.standard_normal((b, 3, hw, hw)).astype(np.float32)
+    coords = np.array([[0.1, 0.15, 0.45, 0.55, 128, 108, 462, 296, 1280, 720],
+                       [0.3, 0.2, 0.7, 0.6, 384, 144, 525, 296, 1280, 720]],
+                      np.float32)
+    coords2 = np.array([[0.2, 0.1, 0.55, 0.5, 256, 72, 462, 296, 1280, 720],
+                        [0.25, 0.3, 0.65, 0.7, 320, 216, 525, 296, 1280, 720]],
+                       np.float32)
+
+    with torch.no_grad():
+        ref_loss, _ = ref_model(
+            torch.from_numpy(im1), torch.from_numpy(im2),
+            torch.from_numpy(coords), torch.from_numpy(coords2),
+            is_update_momentum=False)
+
+    model = PixPro(arch="resnet50", pixpro_p=2.0, pixpro_transform_layer=1,
+                   pixpro_pos_ratio=0.7, pixpro_ins_loss_weight=1.0)
+    (loss, stats), _ = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(im1.transpose(0, 2, 3, 1)),
+        jnp.asarray(im2.transpose(0, 2, 3, 1)),
+        jnp.asarray(coords), jnp.asarray(coords2),
+        train=True, mutable=["batch_stats"])
+
+    assert "loss_instance" in stats
+    np.testing.assert_allclose(float(loss), float(ref_loss),
+                               rtol=5e-4, atol=5e-4)

@@ -395,7 +395,7 @@ def test_composed_train_step_trajectory_parity(dist_oracle, with_flow):
         ref_lrs.append(opt.param_groups[0]["lr"])
         opt.step()
         scheduler.step()
-        ref_losses.append(float(loss))
+        ref_losses.append(float(loss.detach()))
 
     final_sd = {"module." + k: v for k, v in ref_model.state_dict().items()}
     want = torch_pixpro_to_flax(final_sd)
