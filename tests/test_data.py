@@ -278,3 +278,64 @@ def test_loader_skip_batches_bit_exact(tmp_path):
     for a, b in zip(full[2:], tail):
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_rand_augment_ops_match_reference(monkeypatch):
+    """Per-op oracle: every RandAugment op at a fixed magnitude produces the
+    exact image the reference's timm-derived AutoAugmentOp produces (sign
+    negation pinned off, interpolation pinned BILINEAR, same fill color)."""
+    import random as _random
+    import sys
+    import types
+
+    from PIL import Image
+
+    if "torchvision.transforms.functional" not in sys.modules:
+        tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
+        tvt = (getattr(tv, "transforms", None)
+               or types.ModuleType("torchvision.transforms"))
+        tvf = types.ModuleType("torchvision.transforms.functional")
+        tvt.functional = tvf
+        tv.transforms = tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
+        sys.modules["torchvision.transforms.functional"] = tvf
+    if "pycocotools" not in sys.modules:  # contrast.data imports it
+        pc = types.ModuleType("pycocotools")
+        pcc = types.ModuleType("pycocotools.coco")
+        pcc.COCO = object
+        pc.coco = pcc
+        sys.modules["pycocotools"] = pc
+        sys.modules["pycocotools.coco"] = pcc
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from contrast.data.rand_augment import AutoAugmentOp
+
+    from pixflow_tpu.data.rand_augment import OPS
+
+    class StubRng:
+        def random(self):
+            return 0.0      # op fires; signed args stay positive
+
+        def choice(self, seq):
+            return Image.BILINEAR
+
+        def gauss(self, m, s):
+            return m
+
+    monkeypatch.setattr(_random, "random", lambda: 0.0)
+
+    rng = np.random.default_rng(13)
+    small = rng.integers(0, 255, (6, 8, 3), np.uint8)
+    img = Image.fromarray(small).resize((64, 48), Image.BILINEAR)
+
+    hparams = {"magnitude_std": 0, "interpolation": Image.BILINEAR,
+               "img_mean": (124, 116, 104), "translate_const": 100}
+    for magnitude in (4, 7, 10):
+        for name, fn in OPS:
+            ref_op = AutoAugmentOp(name, prob=1.0, magnitude=magnitude,
+                                   hparams=hparams)
+            want = np.asarray(ref_op(img))
+            got = np.asarray(fn(img, float(magnitude), StubRng()))
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"op {name} at magnitude {magnitude}")
