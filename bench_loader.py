@@ -12,7 +12,9 @@ Proves/paces the host side of the headline bench: the device step consumes
 Env: LOADER_VIDEOS (default 64), LOADER_FRAMES (6), LOADER_BATCH (64),
 LOADER_WORKERS (default: os.cpu_count()), LOADER_MODE (thread|process|both),
 LOADER_RES (default 720x1280 frames), LOADER_NATIVE=1 (native ROI decode),
-LOADER_DEVICE_AUG=1 (sample aug params; photometric runs on-device).
+LOADER_DEVICE_AUG=1 (sample aug params; photometric runs on-device),
+LOADER_RESTART=1 (restart-transcode the corpus first — crop decodes splice
+out just their MCU-row band; tools/transcode_restart.py).
 Prints one JSON line per mode.
 
 LOADER_DEVICE_STEP=1 additionally drives the loader's batches through the
@@ -29,6 +31,7 @@ proof without tunnel artifacts."""
 import json
 import os
 import shutil
+import sys
 import tempfile
 import time
 
@@ -144,6 +147,7 @@ def main():
     workers = int(os.environ.get("LOADER_WORKERS", str(os.cpu_count())))
     mode = os.environ.get("LOADER_MODE", "both")
     native = os.environ.get("LOADER_NATIVE", "0") == "1"
+    restart = os.environ.get("LOADER_RESTART", "0") == "1"
     device_aug = os.environ.get("LOADER_DEVICE_AUG", "0") == "1"
     decode_scale = int(os.environ.get("LOADER_DECODE_SCALE", "1"))
     res = tuple(int(x) for x in
@@ -152,6 +156,13 @@ def main():
     root = tempfile.mkdtemp(prefix="pixflow_loaderbench_")
     try:
         train, flow_raw = make_corpus(root, n_videos, n_frames, res)
+        if restart:  # splice-compatible corpus (tools/transcode_restart.py)
+            import subprocess
+            subprocess.run([sys.executable,
+                            os.path.join(os.path.dirname(
+                                os.path.abspath(__file__)), "tools",
+                                "transcode_restart.py"), train],
+                           check=True)
         fwd_pack = os.path.join(root, "fwd.fpk")
         bwd_pack = os.path.join(root, "bwd.fpk")
         pack_flow_dir(flow_raw, fwd_pack, "float16")
@@ -198,6 +209,7 @@ def main():
                 "workers": workers, "batch": batch,
                 "n_frames": n_frames, "res": list(res),
                 "native_decode": native, "device_aug": device_aug,
+                "restart_transcode": restart,
             }))
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -44,6 +44,12 @@ def parse_args() -> PretrainConfig:
     p.add_argument("--native-decode", action="store_true",
                    help="native libjpeg ROI decode fused with crop+resize "
                         "(fastest host path; identical crop sampling)")
+    p.add_argument("--restart-transcode", action="store_true",
+                   help="with --native-decode and a byte cache: lossless "
+                        "restart-marker transcode at cache time so crop "
+                        "decodes skip entropy work above their band "
+                        "(identical pixels; on-disk corpora: "
+                        "tools/transcode_restart.py)")
     p.add_argument("--worker-mode", type=str, default="thread",
                    choices=["thread", "process"],
                    help="decode workers: in-process threads or "
@@ -172,6 +178,7 @@ def parse_args() -> PretrainConfig:
         ("worker_mode", d, "worker_mode"),
         ("decode_scale", d, "decode_scale"),
         ("native_decode", d, "native_decode"),
+        ("restart_transcode", d, "restart_transcode"),
         ("device_aug", d, "device_aug"),
         ("loader_backend", d, "loader_backend"),
         ("batch_size", d, "batch_size"),

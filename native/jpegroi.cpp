@@ -18,8 +18,25 @@
 //   jr_header(buf, len, &w, &h)                         -> 0 on success
 //   jr_decode_crop_resize(buf, len, x, y, w, h,
 //                         out_w, out_h, max_denom, out) -> 0 on success
+//   jr_transcode_restart(buf, len, rows, out, cap, &n)  -> 0 on success
+//   jr_restart_rows(buf, len)      -> MCU rows per restart interval (0: none)
+//   jr_splice_used()               -> 1 if the last decode on this thread
+//                                     took the restart-splice fast path
 // (x, y, w, h) is the crop box in original-image pixels; max_denom bounds
 // the DCT-domain downscale (1 = always decode the band at full resolution).
+//
+// Restart-marker fast path: jpeg_skip_scanlines still Huffman-decodes every
+// skipped row, so a random-crop band decode pays entropy work proportional
+// to the band's BOTTOM edge, not its height — the measured host floor
+// (docs/PERF.md). `jr_transcode_restart` losslessly re-wraps a JPEG's DCT
+// coefficients with a DRI restart interval of one MCU row at data-prep
+// time; restart intervals are independently entropy-decodable, so the
+// decoder below splices a valid in-memory JPEG containing ONLY the needed
+// MCU rows (header with a patched SOF height + the chosen intervals with
+// renumbered RST markers + EOI) and decodes that. Output is bit-identical
+// to the non-spliced decode: the splice keeps the resize filter's support
+// margin plus one guard MCU row on each side so fancy chroma upsampling
+// sees the same neighbor rows.
 
 #include <cstddef>
 #include <cstdio>  // jpeglib.h needs size_t/FILE declared first
@@ -28,6 +45,7 @@
 
 #include <algorithm>
 #include <cmath>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -175,7 +193,265 @@ int decode_band(const unsigned char* buf, long len, int x, int y, int w,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Restart-marker fast path (see the header comment).
+
+thread_local int g_splice_used = 0;
+
+struct MarkerScan {
+  size_t entropy_start = 0;  // first byte after the SOS header
+  size_t height_off = 0;     // absolute offset of the SOF height bytes
+  int width = 0, height = 0;
+  int mcu_w = 8, mcu_h = 8;  // iMCU size in pixels
+  int restart_interval = 0;  // MCUs per restart interval (DRI)
+  bool progressive = false;
+};
+
+// Lightweight byte-level segment walk of a baseline JPEG header, up to and
+// including the SOS header (the entropy stream is NOT scanned here — the
+// splice machinery below touches entropy bytes only up to the end of the
+// band it extracts). Returns false for anything the splice path can't
+// handle (progressive, arithmetic, truncated).
+bool scan_header(const unsigned char* b, size_t n, MarkerScan* s) {
+  if (n < 4 || b[0] != 0xFF || b[1] != 0xD8) return false;
+  size_t p = 2;
+  bool got_sof = false;
+  while (p + 4 <= n) {
+    if (b[p] != 0xFF) return false;
+    while (p < n && b[p] == 0xFF) ++p;  // optional fill bytes
+    if (p + 2 >= n) return false;
+    unsigned m = b[p++];
+    if (m == 0xD8 || m == 0x01) continue;  // no payload
+    size_t seglen = ((size_t)b[p] << 8) | b[p + 1];
+    if (seglen < 2 || p + seglen > n) return false;
+    if (m == 0xC0 || m == 0xC1 || m == 0xC2) {  // SOF0/1/2
+      s->progressive = (m == 0xC2);
+      if (seglen < 8) return false;
+      s->height_off = p + 3;
+      s->height = ((int)b[p + 3] << 8) | b[p + 4];
+      s->width = ((int)b[p + 5] << 8) | b[p + 6];
+      int ncomp = b[p + 7];
+      if (seglen < (size_t)(8 + 3 * ncomp)) return false;
+      int hmax = 1, vmax = 1;
+      for (int c = 0; c < ncomp; ++c) {
+        int samp = b[p + 9 + 3 * c];
+        hmax = std::max(hmax, samp >> 4);
+        vmax = std::max(vmax, samp & 15);
+      }
+      s->mcu_w = 8 * hmax;
+      s->mcu_h = 8 * vmax;
+      got_sof = true;
+    } else if ((m >= 0xC3 && m <= 0xCF) && m != 0xC4 && m != 0xC8 &&
+               m != 0xCC) {
+      return false;  // arithmetic / lossless / hierarchical SOFs
+    } else if (m == 0xDD) {  // DRI
+      if (seglen < 4) return false;
+      s->restart_interval = ((int)b[p + 2] << 8) | b[p + 3];
+    } else if (m == 0xDA) {  // SOS: entropy-coded data follows
+      if (!got_sof) return false;
+      s->entropy_start = p + seglen;
+      return true;
+    }
+    p += seglen;
+  }
+  return false;
+}
+
+// memchr-driven seek past `count` RST markers starting at entropy offset
+// `p`; returns the offset of the interval that follows (0 = not found /
+// stream anomaly). 0xFF 0x00 is a stuffed data byte, 0xFF 0xFF a fill byte;
+// neither is a marker.
+size_t seek_intervals(const unsigned char* b, size_t n, size_t p,
+                      long count) {
+  long seen = 0;
+  while (seen < count) {
+    const void* f = std::memchr(b + p, 0xFF, n - p);
+    if (f == nullptr) return 0;
+    p = (size_t)((const unsigned char*)f - b);
+    if (p + 1 >= n) return 0;
+    unsigned c = b[p + 1];
+    if (c == 0x00) p += 2;
+    else if (c == 0xFF) ++p;
+    else if (c >= 0xD0 && c <= 0xD7) { ++seen; p += 2; }
+    else return 0;  // EOI or another marker before enough intervals
+  }
+  return p;
+}
+
+// Copy `count` restart intervals starting at entropy offset `p` into `out`,
+// renumbering the RST markers between them from 0 (the decoder checks the
+// mod-8 cycle). Restart intervals reset the DC predictors, so the cut is
+// exact. The final interval may be terminated by the stream's EOI (the
+// m1 == bottom case); either terminator is accepted, neither is copied.
+bool copy_intervals(const unsigned char* b, size_t n, size_t p, long count,
+                    std::vector<unsigned char>* out) {
+  long done = 0;
+  size_t seg = p;
+  while (true) {
+    const void* f = std::memchr(b + p, 0xFF, n - p);
+    if (f == nullptr) return false;
+    size_t q = (size_t)((const unsigned char*)f - b);
+    if (q + 1 >= n) return false;
+    unsigned c = b[q + 1];
+    if (c == 0x00) { p = q + 2; continue; }
+    if (c == 0xFF) { p = q + 1; continue; }
+    out->insert(out->end(), b + seg, b + q);  // interval `done` is complete
+    ++done;
+    if (c >= 0xD0 && c <= 0xD7) {
+      if (done == count) return true;  // cut before the terminating RST
+      out->push_back(0xFF);
+      out->push_back((unsigned char)(0xD0 | ((done - 1) & 7)));
+      p = seg = q + 2;
+      continue;
+    }
+    if (c == 0xD9) return done == count;  // EOI terminates the last interval
+    return false;  // any other marker (multi-scan): unsupported
+  }
+}
+
+// If `buf` is a restart-aligned baseline JPEG, splice out just the MCU rows
+// the band decode will touch (crop box + resize support + one guard MCU row
+// per side for fancy chroma upsampling). Returns true with the spliced
+// stream and the pixel row of its top edge; false = use the original.
+bool try_restart_splice(const unsigned char* buf, long len, int y, int w,
+                        int h, int out_w, int out_h, int max_denom,
+                        std::vector<unsigned char>* spliced, int* row0_px) {
+  MarkerScan s;
+  const unsigned char* b = buf;
+  const size_t n = (size_t)len;
+  if (!scan_header(b, n, &s)) return false;
+  if (s.progressive || s.restart_interval <= 0 || s.width <= 0 ||
+      s.height <= 0)
+    return false;
+  int mcus_per_row = (s.width + s.mcu_w - 1) / s.mcu_w;
+  int rows_per_rst;
+  if (s.restart_interval % mcus_per_row == 0)
+    rows_per_rst = s.restart_interval / mcus_per_row;
+  else if (mcus_per_row % s.restart_interval == 0)
+    rows_per_rst = 1;  // several restarts per row: every row start aligns
+  else
+    return false;
+  int total_rows = (s.height + s.mcu_h - 1) / s.mcu_h;
+
+  // replicate decode_band's DCT-downscale choice, then the original-pixel
+  // band it will read: crop box +/- the resize support (+denom: scaled-
+  // coordinate floor/ceil slack), +1 guard MCU row per side so fancy
+  // chroma upsampling sees the same neighbor rows as in the full image
+  int denom = 1;
+  while (denom * 2 <= max_denom && w / (denom * 2) >= out_w &&
+         h / (denom * 2) >= out_h)
+    denom *= 2;
+  double sup_y = std::max((double)h / out_h, (double)denom);
+  int oy0 = (int)std::floor(y - sup_y) - denom;
+  int oy1 = (int)std::ceil(y + h + sup_y) + denom;
+  int m0 = std::max(0, oy0 / s.mcu_h - 1);
+  int m1 = std::min(total_rows, (oy1 + s.mcu_h - 1) / s.mcu_h + 1);
+  m0 -= m0 % rows_per_rst;
+  m1 = std::min(total_rows,
+                (m1 + rows_per_rst - 1) / rows_per_rst * rows_per_rst);
+  if (m1 <= m0) return false;
+  if (m0 <= 0 && m1 >= total_rows) return false;  // nothing to skip
+
+  long i0 = (long)m0 * mcus_per_row / s.restart_interval;
+  long total_mcus = (long)total_rows * mcus_per_row;
+  long i1 = (m1 >= total_rows)
+                ? (total_mcus + s.restart_interval - 1) / s.restart_interval
+                : ((long)m1 * mcus_per_row) / s.restart_interval;
+  size_t start = (i0 == 0)
+                     ? s.entropy_start
+                     : seek_intervals(b, n, s.entropy_start, i0);
+  if (start == 0) return false;
+
+  int new_h = std::min(s.height - m0 * s.mcu_h, (m1 - m0) * s.mcu_h);
+  spliced->clear();
+  spliced->reserve(s.entropy_start + (n - start) / 2 + 2);
+  spliced->insert(spliced->end(), b, b + s.entropy_start);
+  (*spliced)[s.height_off] = (unsigned char)(new_h >> 8);
+  (*spliced)[s.height_off + 1] = (unsigned char)(new_h & 0xFF);
+  if (!copy_intervals(b, n, start, i1 - i0, spliced)) return false;
+  spliced->push_back(0xFF);
+  spliced->push_back(0xD9);
+  *row0_px = m0 * s.mcu_h;
+  return true;
+}
+
+// Lossless coefficient-domain transcode (jpegtran-style) writing a DRI
+// restart interval of `rows` MCU rows — the data-prep half of the fast
+// path. Output buffer lives in thread_locals (static storage duration:
+// well-defined across the longjmp error path); locals here are trivially
+// destructible, per decode_band's pattern.
+thread_local unsigned char* tl_obuf = nullptr;
+thread_local unsigned long tl_osize = 0;
+
+int transcode_impl(const unsigned char* buf, long len, int rows,
+                   unsigned char* out, long out_cap, long* out_len) {
+  jpeg_decompress_struct src;
+  jpeg_compress_struct dst;
+  ErrMgr jerr;
+  volatile int created = 0;
+  tl_obuf = nullptr;
+  tl_osize = 0;
+  src.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = err_exit;
+  jerr.pub.emit_message = err_silent;
+  jerr.pub.output_message = err_silent_msg;
+  if (setjmp(jerr.jb)) {
+    if (created >= 2) jpeg_destroy_compress(&dst);
+    jpeg_destroy_decompress(&src);
+    if (tl_obuf) { free(tl_obuf); tl_obuf = nullptr; }
+    return 1;
+  }
+  jpeg_create_decompress(&src);
+  created = 1;
+  jpeg_mem_src(&src, buf, (unsigned long)len);
+  jpeg_read_header(&src, TRUE);
+  jvirt_barray_ptr* coefs = jpeg_read_coefficients(&src);
+  jpeg_create_compress(&dst);
+  created = 2;
+  dst.err = src.err;
+  jpeg_mem_dest(&dst, &tl_obuf, &tl_osize);
+  jpeg_copy_critical_parameters(&src, &dst);
+  dst.restart_in_rows = rows;
+  jpeg_write_coefficients(&dst, coefs);
+  jpeg_finish_compress(&dst);
+  jpeg_finish_decompress(&src);
+  jpeg_destroy_compress(&dst);
+  jpeg_destroy_decompress(&src);
+  *out_len = (long)tl_osize;
+  int rc = 0;
+  if ((long)tl_osize > out_cap) {
+    rc = 5;  // caller retries with a *out_len-byte buffer
+  } else {
+    std::memcpy(out, tl_obuf, tl_osize);
+  }
+  free(tl_obuf);
+  tl_obuf = nullptr;
+  return rc;
+}
+
 }  // namespace
+
+extern "C" int jr_transcode_restart(const unsigned char* buf, long len,
+                                    int rows, unsigned char* out,
+                                    long out_cap, long* out_len) {
+  if (rows <= 0 || out_len == nullptr) return 2;
+  return transcode_impl(buf, len, rows, out, out_cap, out_len);
+}
+
+// MCU rows per restart interval if the stream is restart-row-aligned
+// (spliceable); 0 otherwise.
+extern "C" int jr_restart_rows(const unsigned char* buf, long len) {
+  MarkerScan s;
+  if (!scan_header(buf, (size_t)len, &s)) return 0;
+  if (s.progressive || s.restart_interval <= 0 || s.width <= 0) return 0;
+  int mcus_per_row = (s.width + s.mcu_w - 1) / s.mcu_w;
+  if (s.restart_interval % mcus_per_row == 0)
+    return s.restart_interval / mcus_per_row;
+  if (mcus_per_row % s.restart_interval == 0) return 1;
+  return 0;
+}
+
+extern "C" int jr_splice_used(void) { return g_splice_used; }
 
 extern "C" int jr_header(const unsigned char* buf, long len, int* w, int* h) {
   jpeg_decompress_struct cinfo;
@@ -203,7 +479,17 @@ extern "C" int jr_decode_crop_resize(const unsigned char* buf, long len,
                                      unsigned char* out) {
   if (w <= 0 || h <= 0 || out_w <= 0 || out_h <= 0) return 2;
   BandResult res;
-  int rc = decode_band(buf, len, x, y, w, h, out_w, out_h, max_denom, &res);
+  std::vector<unsigned char> spliced;
+  int row0 = 0, rc = -1;
+  g_splice_used = 0;
+  if (try_restart_splice(buf, len, y, w, h, out_w, out_h, max_denom,
+                         &spliced, &row0)) {
+    rc = decode_band(spliced.data(), (long)spliced.size(), x, y - row0, w, h,
+                     out_w, out_h, max_denom, &res);
+    g_splice_used = (rc == 0);
+  }
+  if (rc != 0)  // no restart rows, or a damaged stream: plain band decode
+    rc = decode_band(buf, len, x, y, w, h, out_w, out_h, max_denom, &res);
   if (rc != 0) return rc;
 
   const int band_w = res.band_w, band_h = res.band_h;

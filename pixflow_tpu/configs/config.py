@@ -34,6 +34,10 @@ class DataConfig:
     # native ROI decode (libjpeg band decode fused with the crop+resize);
     # identical crop sampling, fastest host path
     native_decode: bool = False
+    # with native_decode + byte cache: lossless per-MCU-row restart-marker
+    # transcode at cache time, so crop decodes entropy-decode only their own
+    # band (identical pixels; disk corpora: tools/transcode_restart.py)
+    restart_transcode: bool = False
     # 'thread' (in-process pool) or 'process' (forked decode
     # workers, the reference DataLoader model; GIL-free)
     worker_mode: str = "thread"

@@ -170,6 +170,13 @@ class VideoFrameDataset:
     # native ROI decode: crops decode only their own band via libjpeg
     # (data/jpegroi.py); non-JPEG files fall back to PIL
     native_decode: bool = False
+    # with native_decode + a byte cache: losslessly re-wrap cached JPEGs
+    # with per-MCU-row restart markers at init_cache time so crop decodes
+    # splice out just the needed rows (skipping the entropy decode of
+    # everything above the band — the measured host floor, docs/PERF.md).
+    # On-disk corpora are transcoded once with tools/transcode_restart.py
+    # instead (the decoder auto-detects restart-aligned streams).
+    restart_transcode: bool = False
 
     def __post_init__(self):
         self.use_flow_file = bool(self.flow_fwd_root) and bool(self.flow_bwd_root)
@@ -210,6 +217,15 @@ class VideoFrameDataset:
                         self._byte_cache[path] = f.read()
                 elif isinstance(path, str):
                     self._byte_cache[path] = zipreader.read_bytes(path)
+        if self.restart_transcode and self.native_decode:
+            from .jpegroi import restart_rows, transcode_restart
+            for path, data in self._byte_cache.items():
+                if (path.lower().endswith((".jpg", ".jpeg"))
+                        and restart_rows(data) == 0):
+                    try:
+                        self._byte_cache[path] = transcode_restart(data)
+                    except ValueError:
+                        pass  # damaged/exotic stream: keep the original
 
     def _load(self, path):
         cache = getattr(self, "_byte_cache", None)

@@ -44,8 +44,50 @@ def load_lib(build: bool = True):
         ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p]
+    lib.jr_transcode_restart.restype = ctypes.c_int
+    lib.jr_transcode_restart.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_long, ctypes.POINTER(ctypes.c_long)]
+    lib.jr_restart_rows.restype = ctypes.c_int
+    lib.jr_restart_rows.argtypes = [ctypes.c_char_p, ctypes.c_long]
+    lib.jr_splice_used.restype = ctypes.c_int
+    lib.jr_splice_used.argtypes = []
     _LIB = lib
     return lib
+
+
+def transcode_restart(data: bytes, rows: int = 1) -> bytes:
+    """Losslessly re-wrap a JPEG's DCT coefficients with a restart marker
+    every `rows` MCU rows (jpegtran-style; identical pixels). Run once at
+    data-prep time (tools/transcode_restart.py): the crop decoder then
+    splices out just the needed MCU rows instead of entropy-decoding every
+    row above the crop band."""
+    lib = load_lib()
+    cap = len(data) + len(data) // 2 + (1 << 16)
+    out = ctypes.create_string_buffer(cap)
+    n = ctypes.c_long()
+    rc = lib.jr_transcode_restart(data, len(data), rows, out, cap,
+                                  ctypes.byref(n))
+    if rc == 5:  # grew past the guess: retry at the reported size
+        cap = n.value
+        out = ctypes.create_string_buffer(cap)
+        rc = lib.jr_transcode_restart(data, len(data), rows, out, cap,
+                                      ctypes.byref(n))
+    if rc != 0:
+        raise ValueError(f"jpeg restart transcode failed (rc={rc})")
+    return out.raw[:n.value]
+
+
+def restart_rows(data: bytes) -> int:
+    """MCU rows per restart interval if the stream is splice-compatible
+    (baseline, restart-row-aligned DRI); 0 otherwise."""
+    return load_lib().jr_restart_rows(data, len(data))
+
+
+def splice_used() -> bool:
+    """Whether the last decode_crop_resize on this thread took the
+    restart-splice fast path (telemetry for tests/benches)."""
+    return bool(load_lib().jr_splice_used())
 
 
 def jpeg_size(data: bytes) -> Tuple[int, int]:

@@ -252,6 +252,7 @@ def build_pretrain_loader(cfg, *, global_batch_size: Optional[int] = None,
         flow_dtype=getattr(data, "flow_transfer_dtype", "float16"),
         decode_scale=getattr(data, "decode_scale", 1),
         native_decode=getattr(data, "native_decode", False),
+        restart_transcode=getattr(data, "restart_transcode", False),
     )
 
     # cfg.data.batch_size is per replica (reference: per GPU); the driver

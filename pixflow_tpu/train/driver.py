@@ -123,7 +123,11 @@ def train(cfg: PretrainConfig):
     loader = build_pretrain_loader(
         cfg, global_batch_size=global_batch,
         num_hosts=jax.process_count(), host_id=jax.process_index())
-    if cfg.data.zip_mode and cfg.data.cache_mode != "no":
+    # byte cache: zip mode (reference semantics) — or any corpus when the
+    # restart-transcode fast decode path needs cached bytes to rewrite
+    if cfg.data.cache_mode != "no" and (
+            cfg.data.zip_mode or getattr(cfg.data, "restart_transcode",
+                                         False)):
         loader.dataset.init_cache(cfg.data.cache_mode, jax.process_index(),
                                   jax.process_count())
     steps_per_epoch = len(loader)
