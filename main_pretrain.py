@@ -96,6 +96,16 @@ def parse_args() -> PretrainConfig:
     p.add_argument("--alpha2", type=float, default=None)
     p.add_argument("--flow_cat_norm", action="store_true")
     p.add_argument("--flow_bs", type=int, default=None)
+    p.add_argument("--raft_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="on-the-fly RAFT compute dtype (weights stay f32; "
+                        "bfloat16 is measured near-neutral on v5e and the "
+                        "refinement amplifies rounding — docs/PERF.md)")
+    p.add_argument("--raft_corr_dtype", type=str, default="follow",
+                   choices=["follow", "float32", "bfloat16"],
+                   help="corr-pyramid HBM storage dtype; f32 compute + "
+                        "bfloat16 storage is the accuracy-cheap fast mode "
+                        "(docs/PERF.md)")
     p.add_argument("--use_flow_frames", action="store_true")
     p.add_argument("--use_flow_file", action="store_true")
     p.add_argument("--flow_root", type=str, default="")
@@ -184,6 +194,8 @@ def parse_args() -> PretrainConfig:
         ("batch_size", d, "batch_size"),
         ("flow_model", f, "flow_model"), ("alpha1", f, "alpha1"),
         ("alpha2", f, "alpha2"), ("flow_bs", f, "flow_bs"),
+        ("raft_dtype", f, "raft_dtype"),
+        ("raft_corr_dtype", f, "raft_corr_dtype"),
         ("flow_root", f, "flow_root"), ("fwd_name", f, "fwd_name"),
         ("bwd_name", f, "bwd_name"),
         ("arch", m, "arch"), ("feature_dim", m, "feature_dim"),

@@ -73,6 +73,17 @@ class FlowConfig:
     alpha2: Optional[float] = None
     flow_bs: Optional[int] = None      # RAFT inference micro-batch
     raft_iters: int = 12
+    raft_dtype: str = "float32"        # 'float32' | 'bfloat16' compute dtype
+                                       # for on-the-fly RAFT (weights stay
+                                       # f32; bf16 measured near-neutral on
+                                       # v5e and the GRU refinement amplifies
+                                       # rounding — docs/PERF.md)
+    raft_corr_dtype: str = "follow"    # corr-pyramid HBM storage dtype
+                                       # ('follow' tracks raft_dtype): the
+                                       # pyramid is the refinement loop's
+                                       # dominant HBM traffic, f32 compute +
+                                       # bf16 storage is the accuracy-cheap
+                                       # fast mode (docs/PERF.md)
 
 
 @dataclass

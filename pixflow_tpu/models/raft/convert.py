@@ -81,8 +81,13 @@ def torch_state_dict_to_flax(state_dict, small: bool):
     return out
 
 
-def load_raft(ckpt_path: str, small: bool = False, dtype=None):
-    """Load a torch RAFT checkpoint -> (RAFT module, flax variables)."""
+def load_raft(ckpt_path: str, small: bool = False, dtype=None,
+              corr_dtype=None):
+    """Load a torch RAFT checkpoint -> (RAFT module, flax variables).
+
+    `dtype` sets the compute/activation precision (weights stay f32);
+    `corr_dtype` the corr-pyramid HBM storage dtype (None follows `dtype`
+    — see `corr.py:build_corr_pyramid`)."""
     import torch
 
     import jax.numpy as jnp
@@ -92,5 +97,6 @@ def load_raft(ckpt_path: str, small: bool = False, dtype=None):
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     variables = torch_state_dict_to_flax(sd, small=small)
-    model = RAFT(small=small, dtype=dtype or jnp.float32)
+    model = RAFT(small=small, dtype=dtype or jnp.float32,
+                 corr_dtype=corr_dtype)
     return model, variables

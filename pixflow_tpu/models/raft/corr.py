@@ -25,14 +25,23 @@ from ...ops.resample import grid_sample
 
 
 def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
-                       num_levels: int = 4) -> List[jnp.ndarray]:
-    """fmap1, fmap2: [B, H, W, C] -> list of [B*H*W, h_l, w_l, 1]."""
+                       num_levels: int = 4,
+                       store_dtype=jnp.float32) -> List[jnp.ndarray]:
+    """fmap1, fmap2: [B, H, W, C] -> list of [B*H*W, h_l, w_l, 1].
+
+    The einsum accumulates in f32 on the MXU regardless of input dtype
+    (bf16 fmaps run at native MXU rate). `store_dtype` sets the pyramid's
+    HBM dtype: the volume is re-read by every refinement iteration's
+    lookup — at 360x640 batch 4 that is ~275 MB/iter at f32 — so bf16
+    storage halves the loop's dominant traffic (measured -17% lookup
+    time, docs/PERF.md; values are normalized dot products, ~0.4%
+    relative rounding). f32 default keeps the oracle-exact path."""
     b, h, w, c = fmap1.shape
     corr = jnp.einsum("bxc,byc->bxy", fmap1.reshape(b, h * w, c),
                       fmap2.reshape(b, h * w, c),
                       preferred_element_type=jnp.float32)
     corr = corr / jnp.sqrt(jnp.asarray(c, jnp.float32))
-    corr = corr.reshape(b * h * w, h, w, 1)
+    corr = corr.reshape(b * h * w, h, w, 1).astype(store_dtype)
 
     pyramid = [corr]
     for _ in range(num_levels - 1):

@@ -49,6 +49,10 @@ class RAFT(nn.Module):
     small: bool = False
     corr_levels: int = 4
     dtype: Any = jnp.float32
+    # corr-pyramid HBM storage dtype; None follows `dtype`. The pyramid is
+    # the refinement loop's dominant HBM traffic, so f32 compute + bf16
+    # storage is the accuracy-cheap fast mode (docs/PERF.md)
+    corr_dtype: Any = None
 
     @property
     def corr_radius(self) -> int:
@@ -97,9 +101,14 @@ class RAFT(nn.Module):
 
         # shared feature pass over both frames (batch-concat like the
         # reference's list input, `extractor.py:176-179`)
+        # corr accumulates in f32 on the MXU either way; under bf16 compute
+        # the pyramid is also *stored* bf16 — the volume is the refinement
+        # loop's dominant HBM traffic (corr.py:build_corr_pyramid)
         fmaps = fnet(jnp.concatenate([image1, image2], axis=0))
-        fmap1, fmap2 = jnp.split(fmaps.astype(jnp.float32), 2, axis=0)
-        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
+        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+        pyramid = build_corr_pyramid(
+            fmap1, fmap2, self.corr_levels,
+            store_dtype=self.corr_dtype or self.dtype)
 
         c = cnet(image1)
         net = jnp.tanh(c[..., :hdim])

@@ -77,7 +77,11 @@ def _make_raft_fn(cfg: PretrainConfig):
     for the basic model, matching reference `calc_optical_flow(up=True)`,
     `util.py:83-91`), so the composition must not upsample again."""
     from ..models.raft import load_raft, raft_batch_flows
-    raft, variables = load_raft(cfg.flow.flow_model, small=cfg.flow.small)
+    raft, variables = load_raft(
+        cfg.flow.flow_model, small=cfg.flow.small,
+        dtype=getattr(jnp, cfg.flow.raft_dtype),
+        corr_dtype=None if cfg.flow.raft_corr_dtype == "follow"
+        else getattr(jnp, cfg.flow.raft_corr_dtype))
 
     def raft_fn(frames):  # [B, n, H, W, 3] uint8
         return raft_batch_flows(raft, variables, frames,

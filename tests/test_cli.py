@@ -106,6 +106,19 @@ def test_cli_round2_flags():
     assert cfg.model.fuse_views is True
 
 
+def test_cli_raft_dtype_flag():
+    """--raft_dtype / --raft_corr_dtype reach FlowConfig; defaults stay
+    f32/follow (the oracle-exact path)."""
+    cfg = _parse([])
+    assert cfg.flow.raft_dtype == "float32"
+    assert cfg.flow.raft_corr_dtype == "follow"
+    cfg = _parse(["--use_flow", "--flow_model", "raft-small.pth",
+                  "--raft_dtype", "bfloat16",
+                  "--raft_corr_dtype", "bfloat16"])
+    assert cfg.flow.raft_dtype == "bfloat16"
+    assert cfg.flow.raft_corr_dtype == "bfloat16"
+
+
 def test_multihost_rendezvous_missing_vars_fail_fast():
     """Partial rendezvous config must fail loudly, not hang the pod."""
     import os

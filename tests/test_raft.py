@@ -80,6 +80,35 @@ def test_raft_end_to_end_shapes(small):
     assert np.isfinite(np.asarray(flow_up)).all()
 
 
+def test_raft_reduced_precision_outputs_f32_and_close():
+    """`--raft_dtype bfloat16` / `--raft_corr_dtype bfloat16`: flow outputs
+    must stay float32 (coords accumulate in f32, `raft.py:127`) and track
+    the f32 result. The f32-compute + bf16-corr-storage mode (the
+    accuracy-cheap fast path, docs/PERF.md) must track much tighter than
+    full bf16 compute — only the corr values are rounded."""
+    b, H, W = 1, 64, 64
+    im1 = jnp.asarray(RNG.integers(0, 255, (b, H, W, 3)).astype(np.float32))
+    im2 = jnp.asarray(RNG.integers(0, 255, (b, H, W, 3)).astype(np.float32))
+    variables = RAFT(small=True).init(jax.random.PRNGKey(0), im1, im2,
+                                      iters=1)
+    outs = {}
+    for key, kw in (("f32", {}),
+                    ("bf16", dict(dtype=jnp.bfloat16)),
+                    ("f32+bf16corr", dict(corr_dtype=jnp.bfloat16))):
+        low, up = RAFT(small=True, **kw).apply(variables, im1, im2, iters=4)
+        assert low.dtype == jnp.float32 and up.dtype == jnp.float32
+        assert np.isfinite(np.asarray(up)).all()
+        outs[key] = np.asarray(low)
+    # random-init flows are tiny; loose relative bounds pin that the reduced
+    # modes stay *sane* (iterative refinement amplifies rounding, so exact
+    # closeness is not expected — docs/PERF.md delta measurements)
+    scale = np.abs(outs["f32"]).max() + 1e-6
+    d_bf16 = np.abs(outs["bf16"] - outs["f32"]).max()
+    d_corr = np.abs(outs["f32+bf16corr"] - outs["f32"]).max()
+    assert d_bf16 <= 0.15 * scale + 0.05, (d_bf16, scale)
+    assert d_corr <= 0.05 * scale + 0.02, (d_corr, scale)
+
+
 def test_raft_batch_flows_shapes_and_reversal():
     b, n, H, W = 2, 3, 32, 32
     model = RAFT(small=True)

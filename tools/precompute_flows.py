@@ -31,7 +31,22 @@ def main():
     p.add_argument("--out-dir", required=True)
     p.add_argument("--flow-model", required=True, help="torch RAFT checkpoint")
     p.add_argument("--iters", type=int, default=12)
-    p.add_argument("--batch", type=int, default=8, help="frame pairs per step")
+    p.add_argument("--batch", type=int, default=4,
+                   help="frame pairs per step (4 beats 8 per-pair on v5e — "
+                        "the corr volume's HBM footprint; docs/PERF.md)")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="RAFT compute dtype (weights stay f32). bfloat16 "
+                        "is measured near-neutral on v5e and the iterative "
+                        "refinement amplifies rounding — validate flow "
+                        "deltas before using (tools/bench_raft.py, "
+                        "docs/PERF.md)")
+    p.add_argument("--corr-dtype", choices=["follow", "float32", "bfloat16"],
+                   default="follow",
+                   help="corr-pyramid HBM storage dtype; the pyramid is the "
+                        "refinement loop's dominant HBM traffic, so f32 "
+                        "compute + bfloat16 storage is the accuracy-cheap "
+                        "fast mode (docs/PERF.md)")
     p.add_argument("--format", choices=["npy", "pth"], default="npy")
     p.add_argument("--shard", type=int, nargs=2, default=[0, 1],
                    metavar=("IDX", "N"), help="process every N-th video")
@@ -47,7 +62,10 @@ def main():
 
     enable_compilation_cache()
     small = "small" in os.path.basename(a.flow_model)
-    model, variables = load_raft(a.flow_model, small=small)
+    model, variables = load_raft(
+        a.flow_model, small=small, dtype=getattr(jnp, a.dtype),
+        corr_dtype=None if a.corr_dtype == "follow"
+        else getattr(jnp, a.corr_dtype))
 
     @jax.jit
     def flow_pairs(im1, im2):
