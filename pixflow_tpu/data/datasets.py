@@ -364,10 +364,12 @@ class VideoFrameDataset:
 
 
 def _pad_flows(flows: np.ndarray, k: int) -> np.ndarray:
-    """Zero-pad the flow stack to K entries (identity under composition)."""
+    """Zero-pad the flow stack to K entries (identity under composition).
+    Padding follows the input dtype so an f16 pack read stays f16 end-to-end
+    (concatenate with f32 would silently promote and re-copy)."""
     if flows.shape[0] == k:
         return flows
-    pad = np.zeros((k - flows.shape[0],) + flows.shape[1:], np.float32)
+    pad = np.zeros((k - flows.shape[0],) + flows.shape[1:], flows.dtype)
     return np.concatenate([flows, pad], axis=0)
 
 

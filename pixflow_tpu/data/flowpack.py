@@ -147,7 +147,11 @@ class FlowPackReader:
         if got < 0:
             raise IndexError(f"fp_read failed ({got}) for "
                              f"{name_or_idx}[{start}:{start + count}]")
-        return out.astype(np.float32)
+        # return the STORED dtype (f16 packs stay f16): the default
+        # pipeline ships f16 to the device anyway, and an eager f32
+        # upcast here forced an f32->f16 copy back in datasets.py (~10%
+        # of the per-sample host budget)
+        return out
 
     def close(self):
         if self._h:

@@ -13,6 +13,14 @@ Determinism contract: per-epoch reshuffle and per-sample augmentation
 draws are deterministic in (seed, epoch, host) — same guarantee as
 `ShardedLoader`, though the two backends' streams are not bit-identical
 (Grain owns the shuffle order and the per-record rng derivation).
+
+Epoch-length semantics: Grain shards with drop_remainder=True (each host
+gets exactly len(dataset)//num_hosts records — `__len__` floors to match,
+and `epoch()` yields exactly `len(self)` batches for every (n, hosts,
+batch, drop_last) combination; test-pinned). `ShardedLoader` instead pads
+to even shards, DistributedSampler-style, so on uneven datasets the grain
+backend's epoch is up to one batch SHORTER per host than the default
+backend's; within one backend all accounting is self-consistent.
 """
 
 from __future__ import annotations

@@ -34,7 +34,13 @@ from .transforms import get_transform
 # Fork-inherited dataset for process workers. Set immediately before the
 # Pool() fork and cleared right after: children keep their inherited copy,
 # the parent doesn't hold a second reference.
-_FORK_DATASET = None
+_FORK_DATASET = None  # per-worker-process dataset, set by _set_fork_dataset
+
+
+def _set_fork_dataset(dataset):
+    """Pool initializer (runs inside each forked worker, incl. respawns)."""
+    global _FORK_DATASET
+    _FORK_DATASET = dataset
 
 
 def _proc_fetch(args):
@@ -68,25 +74,24 @@ class ShardedLoader:
     def _process_pool(self):
         """Persistent forked worker pool (lazy, one per loader).
 
-        _FORK_DATASET stays set for the pool's lifetime: Pool re-forks
-        replacement workers when one dies, and those must inherit the
-        dataset too (cleared in close())."""
+        The dataset reaches workers through the Pool *initializer* (under
+        the fork start method the argument is inherited, not pickled), so
+        replacement workers re-forked after a worker death get the right
+        dataset too — and two live process-mode loaders never clobber each
+        other through the module global."""
         if self._pool is None:
             import multiprocessing as mp
-            global _FORK_DATASET
             ctx = mp.get_context("fork")
-            _FORK_DATASET = self.dataset
-            self._pool = ctx.Pool(self.num_threads)
+            self._pool = ctx.Pool(self.num_threads,
+                                  initializer=_set_fork_dataset,
+                                  initargs=(self.dataset,))
         return self._pool
 
     def close(self):
         if self._pool is not None:
-            global _FORK_DATASET
             self._pool.terminate()
             self._pool.join()
             self._pool = None
-            if _FORK_DATASET is self.dataset:
-                _FORK_DATASET = None
 
     def __del__(self):
         try:

@@ -38,7 +38,7 @@ Gaussian — differences are a few counts at saturated pixels, the same order
 as the PIL-vs-torchvision-tensor gap the reference itself straddles.
 
 Parameter layout (`PARAM_DIM` floats per crop, packed by
-`data/transforms.py:pack_aug_params`):
+`data/transforms.py:sample_photometric_params`):
     [0:9]   M1 row-major     [9:12]  c0_1     [12:15] c1_1
     [15:18] v1               [18]    s1
     [19]    hue delta (turns)
@@ -54,7 +54,6 @@ import jax.numpy as jnp
 
 PARAM_DIM = 41
 BLUR_RADIUS = 6  # static taps; covers 3*sigma at the BYOL max sigma=2
-IDENTITY = None  # filled below (host-side convenience)
 
 
 def _affine_segment(x, m, c0, c1, v, s):
@@ -120,7 +119,7 @@ def apply_photometric(x: jnp.ndarray, params: jnp.ndarray) -> jnp.ndarray:
     """Apply the full photometric stack to a crop batch.
 
     x: [B,H,W,3] uint8 or float in 0..255 (post-crop/flip host output).
-    params: [B, PARAM_DIM] from `data/transforms.py:pack_aug_params`.
+    params: [B, PARAM_DIM] from `data/transforms.py:sample_photometric_params`.
     Returns float32 [B,H,W,3] in 0..255 (caller normalizes).
     """
     x = x.astype(jnp.float32)

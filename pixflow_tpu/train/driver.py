@@ -196,16 +196,47 @@ def train(cfg: PretrainConfig):
     resume_skip, resume_skip_epoch = 0, -1
     resume_path = cfg.runtime.resume
     ckpt_extra = {}
-    if ckpt_backend == "orbax" and cfg.runtime.auto_resume and not resume_path:
-        from ..utils.checkpoint_orbax import (latest_checkpoint_orbax,
+    if ckpt_backend == "orbax":
+        from ..utils.checkpoint_orbax import (ORBAX_DIR,
+                                              latest_checkpoint_orbax,
                                               load_checkpoint_orbax)
-        step = latest_checkpoint_orbax(cfg.runtime.output_dir)
-        if step is not None:
+        if resume_path and os.path.isdir(resume_path):
+            # explicit resume from an orbax run dir (either the output dir
+            # holding <dir>/orbax/ or the orbax/ dir itself)
+            run_dir = (os.path.dirname(os.path.abspath(resume_path))
+                       if os.path.basename(os.path.normpath(resume_path))
+                       == ORBAX_DIR else resume_path)
             state, ckpt_epoch, ckpt_extra = load_checkpoint_orbax(
-                cfg.runtime.output_dir, state)
+                run_dir, state)
             start_epoch = ckpt_epoch + 1
-            logger.info("resumed from orbax step %d (epoch %d)",
-                        step, ckpt_epoch)
+            logger.info("resumed from orbax dir %s (epoch %d)",
+                        run_dir, ckpt_epoch)
+        elif resume_path:
+            # explicit msgpack file under the orbax backend: cross-backend
+            # migration (load old-format, save new-format from here on)
+            state, ckpt_epoch, ckpt_extra = load_checkpoint(resume_path,
+                                                            state)
+            start_epoch = ckpt_epoch + 1
+            logger.info("resumed msgpack %s under orbax backend (epoch %d)",
+                        resume_path, ckpt_epoch)
+        elif cfg.runtime.auto_resume:
+            step = latest_checkpoint_orbax(cfg.runtime.output_dir)
+            if step is not None:
+                state, ckpt_epoch, ckpt_extra = load_checkpoint_orbax(
+                    cfg.runtime.output_dir, state)
+                start_epoch = ckpt_epoch + 1
+                logger.info("resumed from orbax step %d (epoch %d)",
+                            step, ckpt_epoch)
+            else:
+                # no orbax history: fall back to msgpack checkpoints so a
+                # backend switch never silently restarts a finished run
+                prev = latest_checkpoint(cfg.runtime.output_dir)
+                if prev:
+                    state, ckpt_epoch, ckpt_extra = load_checkpoint(prev,
+                                                                    state)
+                    start_epoch = ckpt_epoch + 1
+                    logger.info("resumed msgpack %s under orbax backend "
+                                "(epoch %d)", prev, ckpt_epoch)
     else:
         if cfg.runtime.auto_resume and not resume_path:
             resume_path = latest_checkpoint(cfg.runtime.output_dir) or ""
@@ -249,7 +280,8 @@ def train(cfg: PretrainConfig):
     step_fn_fast = step_fn
     if (use_flow and cfg.flow.flow_up and cfg.flow.flow_up_lazy
             and raft_fn is None and cfg.runtime.print_freq > 1
-            and cfg.flow.alpha1 is not None):
+            and cfg.flow.alpha1 is not None
+            and cfg.flow.alpha2 is not None):
         step_fn_fast = make_train_step(model, tx, flow_telemetry=False,
                                        **step_kwargs)
 

@@ -42,11 +42,23 @@ def test_config_json_roundtrip():
 
 
 def _parse(argv):
-    import main_pretrain
+    # import OUR main_pretrain explicitly by path: oracle fixtures put
+    # /root/reference at sys.path[0], whose own main_pretrain.py (imports
+    # wandb) would otherwise shadow ours depending on test order
+    import importlib.util
+    import os
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mod = sys.modules.get("main_pretrain")
+    if mod is None or not getattr(mod, "__file__", "").startswith(repo_root):
+        spec = importlib.util.spec_from_file_location(
+            "main_pretrain", os.path.join(repo_root, "main_pretrain.py"))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["main_pretrain"] = mod
+        spec.loader.exec_module(mod)
     old = sys.argv
     sys.argv = ["main_pretrain.py"] + argv
     try:
-        return main_pretrain.parse_args()
+        return mod.parse_args()
     finally:
         sys.argv = old
 

@@ -277,3 +277,52 @@ def test_orbax_backend_through_driver(tmp_path):
     cfg2.optim.epochs = 2
     state2 = train(cfg2)
     assert int(state2.step) == int(state1.step) + 1
+
+
+def test_orbax_explicit_resume_and_backend_migration(tmp_path):
+    """Round-3 review fixes: (a) an EXPLICIT --resume pointing at an orbax
+    run dir (or its orbax/ subdir) loads via orbax instead of crashing in
+    the msgpack unpacker; (b) switching --checkpoint-backend msgpack ->
+    orbax with --auto-resume falls back to the msgpack history instead of
+    silently restarting from scratch."""
+    import pytest as _pytest
+    _pytest.importorskip("orbax.checkpoint")
+    rng = np.random.default_rng(23)
+    root = tmp_path / "data"
+    for v in range(8):
+        vd = root / "train" / f"v{v:02d}"
+        vd.mkdir(parents=True)
+        Image.fromarray(rng.integers(0, 255, (48, 64, 3)).astype(
+            np.uint8)).save(vd / "f00.jpg")
+
+    from pixflow_tpu.train.driver import train
+
+    # (a) explicit orbax dir resume
+    out_a = str(tmp_path / "out_a")
+    cfg = _tiny_cfg(str(root), out_a)
+    cfg.data.dataset = "bdd100k"
+    cfg.runtime.checkpoint_backend = "orbax"
+    state1 = train(cfg)
+
+    out_a2 = str(tmp_path / "out_a2")
+    cfg2 = _tiny_cfg(str(root), out_a2)
+    cfg2.data.dataset = "bdd100k"
+    cfg2.runtime.checkpoint_backend = "orbax"
+    cfg2.runtime.resume = os.path.join(out_a, "orbax")  # the subdir form
+    cfg2.optim.epochs = 2
+    state2 = train(cfg2)
+    assert int(state2.step) == int(state1.step) + 1
+
+    # (b) msgpack history, orbax backend, auto-resume -> migrates
+    out_b = str(tmp_path / "out_b")
+    cfg3 = _tiny_cfg(str(root), out_b)
+    cfg3.data.dataset = "bdd100k"
+    state3 = train(cfg3)  # msgpack checkpoints
+    cfg4 = _tiny_cfg(str(root), out_b)
+    cfg4.data.dataset = "bdd100k"
+    cfg4.runtime.checkpoint_backend = "orbax"
+    cfg4.runtime.auto_resume = True
+    cfg4.optim.epochs = 2
+    state4 = train(cfg4)
+    assert int(state4.step) == int(state3.step) + 1  # resumed, not restarted
+    assert os.path.isdir(os.path.join(out_b, "orbax"))  # saved new format

@@ -59,8 +59,11 @@ def test_f16_pack_roundtrip(tmp_path):
     write_flowpack(path, [("v", flows)], dtype="float16")
     r = FlowPackReader(path)
     got = r.read("v", 0, 4)
-    assert got.dtype == np.float32
-    np.testing.assert_allclose(got, flows, rtol=1e-3, atol=0.05)
+    # the stored dtype comes back verbatim (no eager f32 upcast: the
+    # default pipeline ships f16 to the device, datasets.py:342)
+    assert got.dtype == np.float16
+    np.testing.assert_allclose(got.astype(np.float32), flows,
+                               rtol=1e-3, atol=0.05)
     # f16 shard is about half the size of an f32 one
     path32 = str(tmp_path / "full.fpk")
     write_flowpack(path32, [("v", flows)], dtype="float32")

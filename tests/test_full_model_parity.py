@@ -36,18 +36,10 @@ def ref_env():
 
 
 def _desync_batchnorm(module):
-    """Replace SyncBatchNorm with plain BatchNorm2d (same params/stats) so
-    the reference model can run its forward on CPU. With world size 1 the
-    statistics are identical."""
-    for name, child in module.named_children():
-        if isinstance(child, torch.nn.SyncBatchNorm):
-            bn = torch.nn.BatchNorm2d(child.num_features, child.eps,
-                                      child.momentum, child.affine,
-                                      child.track_running_stats)
-            bn.load_state_dict(child.state_dict())
-            setattr(module, name, bn)
-        else:
-            _desync_batchnorm(child)
+    """SyncBatchNorm -> BatchNorm2d so the reference runs on CPU (shared
+    with tools/compare_loss_curve.py via tools/ref_loop.py)."""
+    from tools.ref_loop import desync_batchnorm
+    desync_batchnorm(module, torch)
 
 
 @pytest.mark.slow

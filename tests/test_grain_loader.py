@@ -93,3 +93,31 @@ def test_driver_end_to_end_grain(corpus, tmp_path):
     assert int(state.step) == 2
     assert os.path.exists(os.path.join(str(tmp_path / "out"),
                                        "current.msgpack"))
+
+
+def test_len_matches_yield_all_shapes():
+    """`__len__` must equal the number of yielded batches for every
+    (n, hosts, batch, drop_last) combination: grain shards with
+    drop_remainder=True (floor per host), and `__len__` floors to match —
+    the driver's steps_per_epoch/end-of-epoch accounting depends on it."""
+    from pixflow_tpu.data.grain_loader import GrainLoader
+
+    class _TinyDS:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i, rng):
+            return {"x": np.float32(i)}
+
+    for n, hosts, bs, drop in [(10, 8, 1, True), (10, 8, 1, False),
+                               (13, 2, 3, True), (13, 2, 3, False),
+                               (8, 1, 3, True), (8, 1, 3, False)]:
+        for host in range(min(hosts, 2)):
+            ld = GrainLoader(_TinyDS(n), bs * hosts, num_hosts=hosts,
+                             host_id=host, seed=0, drop_last=drop,
+                             num_threads=0)
+            got = sum(1 for _ in ld.epoch(0))
+            assert got == len(ld), (n, hosts, bs, drop, host, got, len(ld))

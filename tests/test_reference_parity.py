@@ -275,17 +275,10 @@ def test_raft_numerical_parity(oracle, small, iters, res):
 
 
 def _desync_batchnorm(module):
-    """SyncBatchNorm -> BatchNorm2d (identical params/stats) so the reference
-    model runs on CPU; with world size 1 the statistics are identical."""
-    for name, child in module.named_children():
-        if isinstance(child, torch.nn.SyncBatchNorm):
-            bn = torch.nn.BatchNorm2d(child.num_features, child.eps,
-                                      child.momentum, child.affine,
-                                      child.track_running_stats)
-            bn.load_state_dict(child.state_dict())
-            setattr(module, name, bn)
-        else:
-            _desync_batchnorm(child)
+    """SyncBatchNorm -> BatchNorm2d so the reference runs on CPU (shared
+    with tools/compare_loss_curve.py via tools/ref_loop.py)."""
+    from tools.ref_loop import desync_batchnorm
+    desync_batchnorm(module, torch)
 
 
 @pytest.fixture(scope="module")
@@ -313,7 +306,6 @@ def test_composed_train_step_trajectory_parity(dist_oracle, with_flow):
     This is where a silent composition bug (wd-inside-LARS interaction,
     EMA/BN-update ordering, lr off-by-one) would hide; every piece is
     already unit-oracle-pinned separately."""
-    import types as _types
     ref_pixpro_mod, ref_util = dist_oracle
     import contrast.resnet as ref_resnet
     from contrast.lars import LARS as RefLARS, add_weight_decay
@@ -332,13 +324,9 @@ def test_composed_train_step_trajectory_parity(dist_oracle, with_flow):
     EPOCHS, WARMUP_EPOCH, STEPS_PER_EPOCH = 10, 1, 10  # stays in warmup
     EMA_BASE, EMA_K = 0.99, 1280  # K = num_instances/world/batch*epochs
 
-    args = _types.SimpleNamespace(
-        pixpro_p=2.0, pixpro_momentum=EMA_BASE, pixpro_pos_ratio=0.7,
-        pixpro_clamp_value=0.0, pixpro_transform_layer=1,
-        pixpro_ins_loss_weight=0.0, num_instances=1024, batch_size=8,
-        epochs=EPOCHS, start_epoch=1, output_dir="/tmp/refout",
-        lr_scheduler="cosine", warmup_epoch=WARMUP_EPOCH,
-        warmup_multiplier=100, feature_dim=256, head_type="early_return")
+    from tools.ref_loop import make_ref_args, make_ref_flow_args_fn
+    args = make_ref_args(pixpro_momentum=EMA_BASE, epochs=EPOCHS,
+                         warmup_epoch=WARMUP_EPOCH)
     torch.manual_seed(21 if with_flow else 20)
     ref_model = ref_pixpro_mod.PixPro(ref_resnet.resnet50, args)
     _desync_batchnorm(ref_model)
@@ -360,23 +348,10 @@ def test_composed_train_step_trajectory_parity(dist_oracle, with_flow):
                        ).astype(np.float32)))
 
     alpha1, alpha2 = 0.01, 0.5
-    size_t = torch.tensor([720, 1280])
-
-    def ref_flow_args(b):
-        """apply_optical_flow's use_flow_file+flow_up branch on CPU
-        (`util.py:181-248`): permute, upflow8, compose, cycle masks."""
-        ff = torch.from_numpy(b["flows_fwd"]).permute(1, 0, 2, 3, 4)
-        fb = torch.from_numpy(b["flows_bwd"]).permute(1, 0, 2, 3, 4)
-        num, nb, c, h, w = ff.shape
-        ff = upflow8(ff.reshape(-1, c, h, w)).reshape(num, nb, c, 8 * h, 8 * w)
-        fb = upflow8(fb.reshape(-1, c, h, w)).reshape(num, nb, c, 8 * h, 8 * w)
-        flow_f, flow_b = ref_util.all_concat_flow(ff, fb, use_flow_frames=False)
-        _, _, (mask_f, _) = ref_util.forward_backward_consistency(
-            flow_f, flow_b, alpha_1=alpha1, alpha_2=alpha2)
-        _, _, (mask_b, _) = ref_util.forward_backward_consistency(
-            flow_b, flow_f, alpha_1=alpha1, alpha_2=alpha2)
-        return ([torch.from_numpy(b["coord1"]), [flow_f, size_t, mask_f]],
-                [torch.from_numpy(b["coord2"]), [flow_b, size_t, mask_b]])
+    # apply_optical_flow's use_flow_file+flow_up branch on CPU
+    # (`util.py:181-248`); shared with tools/compare_loss_curve.py
+    ref_flow_args = make_ref_flow_args_fn(torch, ref_util, upflow8,
+                                          alpha1, alpha2)
 
     opt = torch.optim.SGD(add_weight_decay(ref_model, WD), lr=LR, momentum=MOM)
     opt = RefLARS(opt)

@@ -70,27 +70,13 @@ def main():
     EPOCHS, WARMUP, SPE = 10, 1, max(steps, 10)
     alpha1, alpha2 = 0.01, 0.5
 
-    def desync(module):
-        for name, child in module.named_children():
-            if isinstance(child, torch.nn.SyncBatchNorm):
-                bn = torch.nn.BatchNorm2d(child.num_features, child.eps,
-                                          child.momentum, child.affine,
-                                          child.track_running_stats)
-                bn.load_state_dict(child.state_dict())
-                setattr(module, name, bn)
-            else:
-                desync(child)
+    from tools.ref_loop import (desync_batchnorm, make_ref_args,
+                                make_ref_flow_args_fn)
 
-    args = types.SimpleNamespace(
-        pixpro_p=2.0, pixpro_momentum=0.99, pixpro_pos_ratio=0.7,
-        pixpro_clamp_value=0.0, pixpro_transform_layer=1,
-        pixpro_ins_loss_weight=0.0, num_instances=1024, batch_size=8,
-        epochs=EPOCHS, start_epoch=1, output_dir="/tmp/refout",
-        lr_scheduler="cosine", warmup_epoch=WARMUP, warmup_multiplier=100,
-        feature_dim=256, head_type="early_return")
+    args = make_ref_args(epochs=EPOCHS, warmup_epoch=WARMUP)
     torch.manual_seed(seed + 100)
     ref_model = ref_pixpro_mod.PixPro(ref_resnet.resnet50, args)
-    desync(ref_model)
+    desync_batchnorm(ref_model, torch)
     ref_model.train()
     init_sd = {"module." + k: v.detach().clone()
                for k, v in ref_model.state_dict().items()}
@@ -132,21 +118,8 @@ def main():
             coord1=coords(b), coord2=coords(b),
             flows_fwd=ff, flows_bwd=fb))
 
-    size_t = torch.tensor([720, 1280])
-
-    def ref_flow_args(bt):
-        ff = torch.from_numpy(bt["flows_fwd"]).permute(1, 0, 2, 3, 4)
-        fb = torch.from_numpy(bt["flows_bwd"]).permute(1, 0, 2, 3, 4)
-        num, nb, c, h, w = ff.shape
-        ff = upflow8(ff.reshape(-1, c, h, w)).reshape(num, nb, c, 8*h, 8*w)
-        fb = upflow8(fb.reshape(-1, c, h, w)).reshape(num, nb, c, 8*h, 8*w)
-        f, bk = ref_util.all_concat_flow(ff, fb, use_flow_frames=False)
-        _, _, (mf, _) = ref_util.forward_backward_consistency(
-            f, bk, alpha_1=alpha1, alpha_2=alpha2)
-        _, _, (mb, _) = ref_util.forward_backward_consistency(
-            bk, f, alpha_1=alpha1, alpha_2=alpha2)
-        return ([torch.from_numpy(bt["coord1"]), [f, size_t, mf]],
-                [torch.from_numpy(bt["coord2"]), [bk, size_t, mb]])
+    ref_flow_args = make_ref_flow_args_fn(torch, ref_util, upflow8,
+                                          alpha1, alpha2)
 
     opt = torch.optim.SGD(add_weight_decay(ref_model, WD), lr=LR,
                           momentum=MOM)
