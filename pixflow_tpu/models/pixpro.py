@@ -88,8 +88,8 @@ class PixPro(nn.Module):
     # convs -> better MXU utilization). BatchNorm still computes *per-view*
     # statistics inside the fused batch (models/norm.py:ViewBatchNorm), so
     # the math — including running-average order — is exactly the
-    # reference's sequential two-call semantics. Incompatible with
-    # multi_span_loss (which batches frames, not views).
+    # reference's sequential two-call semantics. multi_span_loss fuses the
+    # same way (one 2BF pass; group 0 = all view-1 frame crops).
     fuse_views: bool = False
     # use the fused Pallas pair-similarity kernel (TPU only; exact value and
     # gradient parity with the XLA composition is test-asserted)
@@ -193,9 +193,6 @@ class PixPro(nn.Module):
         `all_concat_flow` order; spans: static [(length, start)];
         n_frames_eff: [B] real frame counts (short videos -> padded tails).
         """
-        assert not self.fuse_views, \
-            "multi_span_loss batches frames, not views; build the model " \
-            "with fuse_views=False for use_flow_frames training"
         b, f = ims1.shape[:2]
 
         def flat(x):
@@ -204,10 +201,20 @@ class PixPro(nn.Module):
         def unflat(x):
             return x.reshape((b, f) + x.shape[1:])
 
-        pred_1, _ = self.online(flat(ims1), train)
-        pred_2, _ = self.online(flat(ims2), train)
-        proj_1_ng, _ = self.momentum_branch(flat(ims1), train)
-        proj_2_ng, _ = self.momentum_branch(flat(ims2), train)
+        if self.fuse_views:
+            # one 2BF pass per branch; ViewBatchNorm(view_groups=2) keeps
+            # per-view statistics with group 0 = view 1, matching the
+            # sequential call order below bit-for-bit (models/norm.py)
+            fused = jnp.concatenate([flat(ims1), flat(ims2)], axis=0)
+            pred, _ = self.online(fused, train)
+            pred_1, pred_2 = jnp.split(pred, 2, axis=0)
+            proj_ng, _ = self.momentum_branch(fused, train)
+            proj_1_ng, proj_2_ng = jnp.split(proj_ng, 2, axis=0)
+        else:
+            pred_1, _ = self.online(flat(ims1), train)
+            pred_2, _ = self.online(flat(ims2), train)
+            proj_1_ng, _ = self.momentum_branch(flat(ims1), train)
+            proj_2_ng, _ = self.momentum_branch(flat(ims2), train)
         pred_1, pred_2 = unflat(pred_1), unflat(pred_2)
         proj_1_ng = jax.lax.stop_gradient(unflat(proj_1_ng))
         proj_2_ng = jax.lax.stop_gradient(unflat(proj_2_ng))

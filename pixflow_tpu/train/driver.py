@@ -43,6 +43,13 @@ def _peak_memory_mb():
 
 def build_model(cfg: PretrainConfig, axis_name: Optional[str]) -> PixPro:
     dtype = jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jnp.float32
+    # multi-span batches F frames per view (B*F images/call), which already
+    # saturates the MXU: fused views measure throughput-NEUTRAL there
+    # (86.96 vs 86.49 samples/s) at 3.3x the compile time (885 vs 267 s on
+    # this 1-core host), so the driver keeps multi-span unfused. Fusing is
+    # still supported and semantics-exact (test_multi_span_fused_views_
+    # equivalence) — the standard 2-image step is where it pays (+43% at
+    # batch 8, +15-18% at 64; docs/PERF.md).
     multi_span = (cfg.flow.use_flow_frames and cfg.flow.use_flow
                   and cfg.data.n_frames > 2)
     return PixPro(

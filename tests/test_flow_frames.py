@@ -74,6 +74,56 @@ def test_multi_span_train_step_runs_and_learns():
     assert losses[-1] < losses[0]
 
 
+def test_multi_span_fused_views_equivalence():
+    """fuse_views=True for multi-span: the 2BF fused pass (ViewBatchNorm
+    group 0 = view-1 crops) must reproduce the unfused 4-call trajectory —
+    losses and batch statistics — to f32 tolerance over several steps."""
+    n_frames, b, hw = 4, 4, 32
+    f = k = n_frames - 1
+    batch = {
+        "ims1": jnp.asarray(RNG.standard_normal((b, f, hw, hw, 3)).astype(np.float32)),
+        "ims2": jnp.asarray(RNG.standard_normal((b, f, hw, hw, 3)).astype(np.float32)),
+        "coords1": jnp.asarray(_coords(b, f)),
+        "coords2": jnp.asarray(_coords(b, f)),
+        "flows_fwd": jnp.asarray(RNG.standard_normal((b, k, 4, 4, 2)).astype(np.float32)),
+        "flows_bwd": jnp.asarray(RNG.standard_normal((b, k, 4, 4, 2)).astype(np.float32)),
+        "n_frames_eff": jnp.asarray([4, 4, 3, 2], jnp.int32),
+    }
+    kw = dict(arch="resnet18", pixpro_p=2.0, pixpro_transform_layer=1,
+              proj_inner_dim=64, proj_out_dim=32)
+    lr = warmup_cosine(0.1, 10, 1, 5)
+
+    losses = {}
+    finals = {}
+    for fuse in (False, True):
+        model = PixPro(fuse_views=fuse, **kw)
+        tx0 = lars_sgd(lr, weight_decay=1e-5)
+        state = create_train_state(jax.random.PRNGKey(0), model, tx0,
+                                   {"im1": batch["ims1"][:1, 0]})
+        tx = lars_sgd(lr, weight_decay=1e-5,
+                      frozen_mask=frozen_momentum_branch_mask(state.params))
+        state = state.replace(opt_state=tx.init(state.params))
+        step = make_train_step(model, tx, lr_schedule=lr, ema_total_steps=50,
+                               ema_base_momentum=0.99, use_flow=True,
+                               use_flow_frames=True, alpha1=0.01, alpha2=0.5,
+                               donate=False)
+        ls = []
+        for _ in range(3):
+            state, metrics = step(state, batch)
+            ls.append(float(metrics["loss"]))
+        losses[fuse] = ls
+        finals[fuse] = state
+
+    np.testing.assert_allclose(losses[True], losses[False],
+                               rtol=2e-4, atol=2e-5)
+    # BN feedback: running stats after 3 steps must agree too
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(np.asarray(a),
+                                                 np.asarray(b_),
+                                                 rtol=2e-4, atol=2e-5),
+        finals[True].batch_stats, finals[False].batch_stats)
+
+
 def test_live_raft_train_step():
     """On-the-fly flow path: frozen RAFT inside the compiled train step
     (reference `util.calc_optical_flow`/`mem_reduce_calc_optical_flow`)."""

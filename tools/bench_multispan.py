@@ -8,7 +8,9 @@ on the real train step: compile time, device-memory footprint, compiled
 FLOPs, and steady-state samples/sec — the numbers VERDICT round 1 asked for
 (multi_span telemetry follow-up).
 
-Usage: python tools/bench_multispan.py  (env: MS_BATCH, MS_FRAMES, MS_STEPS)
+Usage: python tools/bench_multispan.py
+(env: MS_BATCH, MS_FRAMES, MS_STEPS, MS_FUSE=1|0 — fused 2BF view passes
+are supported for multi-span since round 3, semantics-exact)
 Prints one JSON line per configuration (multi-span and, for reference, the
 standard two-crop step at the same batch).
 """
@@ -71,9 +73,10 @@ def measure(multi_span: bool, batch_size: int, n_frames: int, n_steps: int):
                      coord1=jnp.asarray(_coords(b)),
                      coord2=jnp.asarray(_coords(b)))
 
+    fuse = os.environ.get("MS_FUSE", "1") == "1"
     model = PixPro(arch="resnet50", pixpro_p=2.0, pixpro_transform_layer=1,
                    pixpro_pos_ratio=0.7, dtype=jnp.bfloat16,
-                   fuse_views=not multi_span)
+                   fuse_views=fuse)
     lr = warmup_cosine(1.0, epochs=100, warmup_epoch=5, steps_per_epoch=68)
     tx0 = lars_sgd(lr, weight_decay=1e-5)
     state = create_train_state(
@@ -117,6 +120,7 @@ def measure(multi_span: bool, batch_size: int, n_frames: int, n_steps: int):
             (mem.temp_size_in_bytes + mem.argument_size_in_bytes
              + mem.output_size_in_bytes) / 1e6)
         if mem is not None else None,
+        "fuse_views": fuse,
         "batch": b, "n_frames": n_frames,
         "pair_losses": (n_frames - 1) * n_frames // 2 if multi_span else 2,
         "encoder_images_per_sample": 2 * (n_frames - 1) if multi_span else 2,
