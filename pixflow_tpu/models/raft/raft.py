@@ -171,7 +171,11 @@ def raft_batch_flows(model: RAFT, variables, frames: jnp.ndarray,
     if micro_batch is None or micro_batch >= b:
         return chunk_flows(frames)
 
-    assert b % micro_batch == 0, "flow_bs must divide the batch"
+    if b % micro_batch:
+        # snap to the largest divisor of b (static shapes under jit need
+        # equal chunks; e.g. b=6, flow_bs=4 -> chunks of 3)
+        micro_batch = max(d for d in range(1, micro_batch + 1)
+                          if b % d == 0)
     chunks = frames.reshape(b // micro_batch, micro_batch, n, H, W, 3)
     fwd, bwd = jax.lax.map(chunk_flows, chunks)
     # [n_chunks, micro, n-1, h, w, 2] -> [B, n-1, h, w, 2]

@@ -90,11 +90,17 @@ def _make_raft_fn(cfg: PretrainConfig):
         corr_dtype=None if cfg.flow.raft_corr_dtype == "follow"
         else getattr(jnp, cfg.flow.raft_corr_dtype))
 
+    # live RAFT over the full train batch blows past the corr volume's HBM
+    # sweet spot (batch 4 beats 8 by 1.4x per-pair on v5e, docs/PERF.md);
+    # default the micro-batch to 4 when unset (reference's default is 8,
+    # `contrast/util.py:136`)
+    micro = cfg.flow.flow_bs if cfg.flow.flow_bs is not None else 4
+
     def raft_fn(frames):  # [B, n, H, W, 3] uint8
         return raft_batch_flows(raft, variables, frames,
                                 iters=cfg.flow.raft_iters,
                                 up=cfg.flow.flow_up,
-                                micro_batch=cfg.flow.flow_bs)
+                                micro_batch=micro)
     return raft_fn
 
 

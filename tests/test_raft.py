@@ -80,6 +80,26 @@ def test_raft_end_to_end_shapes(small):
     assert np.isfinite(np.asarray(flow_up)).all()
 
 
+def test_raft_batch_flows_micro_batch_snaps_to_divisor():
+    """flow_bs that doesn't divide the batch snaps to the largest divisor
+    (static shapes under jit need equal chunks) and returns the same values
+    as the unchunked path — the driver defaults live-flow flow_bs to 4
+    (`driver.py:_make_raft_fn`), which must not crash odd batches."""
+    b, n, H, W = 6, 2, 32, 32
+    model = RAFT(small=True)
+    frames = jnp.asarray(
+        RNG.integers(0, 255, (b, n, H, W, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), frames[:, 0], frames[:, 1],
+                           iters=1)
+    full = raft_batch_flows(model, variables, frames, iters=1)
+    chunked = raft_batch_flows(model, variables, frames, iters=1,
+                               micro_batch=4)  # snaps to 3
+    np.testing.assert_allclose(np.asarray(chunked[0]), np.asarray(full[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(chunked[1]), np.asarray(full[1]),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_raft_reduced_precision_outputs_f32_and_close():
     """`--raft_dtype bfloat16` / `--raft_corr_dtype bfloat16`: flow outputs
     must stay float32 (coords accumulate in f32, `raft.py:127`) and track
