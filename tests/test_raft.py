@@ -342,6 +342,43 @@ def test_raft_train_step_updates_params():
     assert int(new_state[2]) == 1
 
 
+def test_raft_train_step_on_mesh_matches_single_device():
+    """GSPMD fine-tuning (raft_trainer.py mesh path): one sharded step on
+    the 8-device data mesh must reproduce the single-device step — the
+    global loss mean over the sharded batch IS DDP gradient averaging."""
+    from pixflow_tpu.parallel import make_data_mesh
+    from pixflow_tpu.train.raft_trainer import (make_raft_train_step,
+                                                raft_optimizer)
+    model = RAFT(small=True)
+    b, H, W = 8, 32, 48
+    batch = {
+        "img1": jnp.asarray(RNG.integers(0, 255, (b, H, W, 3)),
+                            jnp.float32),
+        "img2": jnp.asarray(RNG.integers(0, 255, (b, H, W, 3)),
+                            jnp.float32),
+        "flow": jnp.asarray(RNG.standard_normal((b, H, W, 2)), jnp.float32),
+        "valid": jnp.ones((b, H, W), jnp.float32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["img1"],
+                           batch["img2"], iters=1)
+    params = variables["params"]
+    _, tx = raft_optimizer(1e-4, total_steps=10, weight_decay=1e-5)
+
+    outs = {}
+    for name, mesh in (("single", None), ("mesh", make_data_mesh(8))):
+        step = make_raft_train_step(model, tx, iters=2, donate=False,
+                                    mesh=mesh)
+        state = (params, tx.init(params), jnp.zeros((), jnp.int32))
+        new_state, metrics = step(state, batch)
+        outs[name] = (float(metrics["loss"]),
+                      np.asarray(new_state[0]["fnet"]["conv1"]["kernel"]))
+
+    np.testing.assert_allclose(outs["mesh"][0], outs["single"][0],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(outs["mesh"][1], outs["single"][1],
+                               rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_main_raft_cli_smoke(tmp_path):
     """main_raft.py end-to-end on a synthetic FlyingChairs-style corpus:
