@@ -71,7 +71,9 @@ class FlowConfig:
     use_flow_frames: bool = False      # all (span,start) compositions
     alpha1: Optional[float] = None     # cycle-consistency coefficients
     alpha2: Optional[float] = None
-    flow_bs: Optional[int] = None      # RAFT inference micro-batch
+    flow_bs: Optional[int] = None      # live-RAFT micro-batch; None = 4 per
+                                       # device (measured sweet spot), <=0 =
+                                       # unchunked full batch
     raft_iters: int = 12
     raft_dtype: str = "float32"        # 'float32' | 'bfloat16' compute dtype
                                        # for on-the-fly RAFT (weights stay

@@ -31,10 +31,9 @@ import numpy as np
 from .datasets import VideoFrameDataset, list_annotation_file, list_image_folder
 from .transforms import get_transform
 
-# Fork-inherited dataset for process workers. Set immediately before the
-# Pool() fork and cleared right after: children keep their inherited copy,
-# the parent doesn't hold a second reference.
-_FORK_DATASET = None  # per-worker-process dataset, set by _set_fork_dataset
+# Per-worker-process dataset, set inside each forked worker (including
+# respawned replacements) by the Pool initializer below.
+_FORK_DATASET = None
 
 
 def _set_fork_dataset(dataset):

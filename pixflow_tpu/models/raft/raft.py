@@ -173,9 +173,13 @@ def raft_batch_flows(model: RAFT, variables, frames: jnp.ndarray,
 
     if b % micro_batch:
         # snap to the largest divisor of b (static shapes under jit need
-        # equal chunks; e.g. b=6, flow_bs=4 -> chunks of 3)
+        # equal chunks; e.g. b=6, flow_bs=4 -> chunks of 3). If the only
+        # divisor is 1 (b prime vs flow_bs), fall back to the unchunked
+        # full-batch pass — 1-pair chunks are the serial worst case.
         micro_batch = max(d for d in range(1, micro_batch + 1)
                           if b % d == 0)
+        if micro_batch == 1:
+            return chunk_flows(frames)
     chunks = frames.reshape(b // micro_batch, micro_batch, n, H, W, 3)
     fwd, bwd = jax.lax.map(chunk_flows, chunks)
     # [n_chunks, micro, n-1, h, w, 2] -> [B, n-1, h, w, 2]

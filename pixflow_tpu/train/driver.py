@@ -78,7 +78,7 @@ def build_optimizer(cfg: PretrainConfig, lr_schedule, params):
     raise NotImplementedError(cfg.optim.optimizer)
 
 
-def _make_raft_fn(cfg: PretrainConfig):
+def _make_raft_fn(cfg: PretrainConfig, n_devices: int = 1):
     """Build the in-step RAFT flow closure for the on-the-fly path. With
     --flow_up, RAFT's own full-resolution output is used (convex upsampling
     for the basic model, matching reference `calc_optical_flow(up=True)`,
@@ -91,10 +91,18 @@ def _make_raft_fn(cfg: PretrainConfig):
         else getattr(jnp, cfg.flow.raft_corr_dtype))
 
     # live RAFT over the full train batch blows past the corr volume's HBM
-    # sweet spot (batch 4 beats 8 by 1.4x per-pair on v5e, docs/PERF.md);
-    # default the micro-batch to 4 when unset (reference's default is 8,
-    # `contrast/util.py:136`)
-    micro = cfg.flow.flow_bs if cfg.flow.flow_bs is not None else 4
+    # sweet spot (batch 4/device beats 8 by 1.4x per-pair on v5e,
+    # docs/PERF.md); default the micro-batch to 4 PER DEVICE when unset
+    # (raft_fn sees the global batch inside the GSPMD step, so the chunk
+    # must scale with the mesh or chips idle). flow_bs<=0 requests the
+    # unchunked full-batch pass; the reference's default was 8/GPU
+    # (`contrast/util.py:136`).
+    if cfg.flow.flow_bs is None:
+        micro = 4 * n_devices
+    elif cfg.flow.flow_bs <= 0:
+        micro = None
+    else:
+        micro = cfg.flow.flow_bs
 
     def raft_fn(frames):  # [B, n, H, W, 3] uint8
         return raft_batch_flows(raft, variables, frames,
@@ -214,16 +222,22 @@ def train(cfg: PretrainConfig):
                                               latest_checkpoint_orbax,
                                               load_checkpoint_orbax)
         if resume_path and os.path.isdir(resume_path):
-            # explicit resume from an orbax run dir (either the output dir
-            # holding <dir>/orbax/ or the orbax/ dir itself)
-            run_dir = (os.path.dirname(os.path.abspath(resume_path))
-                       if os.path.basename(os.path.normpath(resume_path))
-                       == ORBAX_DIR else resume_path)
+            # explicit resume from an orbax path: the output dir holding
+            # <dir>/orbax/, the orbax/ dir itself, or a specific step dir
+            # <dir>/orbax/<step> (the exact path the driver logs at save)
+            p = os.path.abspath(os.path.normpath(resume_path))
+            base, parent = os.path.basename(p), os.path.dirname(p)
+            step_num = None
+            if base.isdigit() and os.path.basename(parent) == ORBAX_DIR:
+                run_dir, step_num = os.path.dirname(parent), int(base)
+            elif base == ORBAX_DIR:
+                run_dir = parent
+            else:
+                run_dir = p
             state, ckpt_epoch, ckpt_extra = load_checkpoint_orbax(
-                run_dir, state)
+                run_dir, state, step=step_num)
             start_epoch = ckpt_epoch + 1
-            logger.info("resumed from orbax dir %s (epoch %d)",
-                        run_dir, ckpt_epoch)
+            logger.info("resumed from orbax %s (epoch %d)", p, ckpt_epoch)
         elif resume_path:
             # explicit msgpack file under the orbax backend: cross-backend
             # migration (load old-format, save new-format from here on)
@@ -270,7 +284,7 @@ def train(cfg: PretrainConfig):
     use_flow = cfg.flow.use_flow
     raft_fn = None
     if use_flow and not cfg.flow.use_flow_file:
-        raft_fn = _make_raft_fn(cfg)
+        raft_fn = _make_raft_fn(cfg, n_devices)
 
     step_kwargs = dict(
         lr_schedule=lr_schedule,

@@ -313,6 +313,16 @@ def test_orbax_explicit_resume_and_backend_migration(tmp_path):
     state2 = train(cfg2)
     assert int(state2.step) == int(state1.step) + 1
 
+    # the exact step-dir path the driver logs at save time also works
+    out_a3 = str(tmp_path / "out_a3")
+    cfg3 = _tiny_cfg(str(root), out_a3)
+    cfg3.data.dataset = "bdd100k"
+    cfg3.runtime.checkpoint_backend = "orbax"
+    cfg3.runtime.resume = os.path.join(out_a, "orbax", str(int(state1.step)))
+    cfg3.optim.epochs = 2
+    state3 = train(cfg3)
+    assert int(state3.step) == int(state1.step) + 1
+
     # (b) msgpack history, orbax backend, auto-resume -> migrates
     out_b = str(tmp_path / "out_b")
     cfg3 = _tiny_cfg(str(root), out_b)

@@ -99,6 +99,16 @@ def test_raft_batch_flows_micro_batch_snaps_to_divisor():
     np.testing.assert_allclose(np.asarray(chunked[1]), np.asarray(full[1]),
                                rtol=1e-5, atol=1e-5)
 
+    # prime batch vs flow_bs: the only divisor is 1, which would be the
+    # serial worst case — falls back to the unchunked full-batch pass
+    frames7 = jnp.asarray(
+        RNG.integers(0, 255, (7, n, H, W, 3)).astype(np.float32))
+    full7 = raft_batch_flows(model, variables, frames7, iters=1)
+    chunked7 = raft_batch_flows(model, variables, frames7, iters=1,
+                                micro_batch=4)
+    np.testing.assert_allclose(np.asarray(chunked7[0]),
+                               np.asarray(full7[0]), rtol=1e-5, atol=1e-5)
+
 
 def test_raft_reduced_precision_outputs_f32_and_close():
     """`--raft_dtype bfloat16` / `--raft_corr_dtype bfloat16`: flow outputs

@@ -9,8 +9,10 @@ FLOPs, and steady-state samples/sec — the numbers VERDICT round 1 asked for
 (multi_span telemetry follow-up).
 
 Usage: python tools/bench_multispan.py
-(env: MS_BATCH, MS_FRAMES, MS_STEPS, MS_FUSE=1|0 — fused 2BF view passes
-are supported for multi-span since round 3, semantics-exact)
+(env: MS_BATCH, MS_FRAMES, MS_STEPS, MS_FUSE=1|0 — unset mirrors the
+driver's shipped pairing: multi-span unfused, standard fused; fused
+multi-span is supported and semantics-exact but measured neutral at 3.3x
+compile, docs/PERF.md)
 Prints one JSON line per configuration (multi-span and, for reference, the
 standard two-crop step at the same batch).
 """
@@ -73,7 +75,11 @@ def measure(multi_span: bool, batch_size: int, n_frames: int, n_steps: int):
                      coord1=jnp.asarray(_coords(b)),
                      coord2=jnp.asarray(_coords(b)))
 
-    fuse = os.environ.get("MS_FUSE", "1") == "1"
+    # default mirrors the driver's shipped pairing (multi-span unfused —
+    # measured neutral at 3.3x compile; standard fused); MS_FUSE=1|0
+    # overrides both configs for A/Bs
+    fuse_env = os.environ.get("MS_FUSE")
+    fuse = (fuse_env == "1") if fuse_env is not None else not multi_span
     model = PixPro(arch="resnet50", pixpro_p=2.0, pixpro_transform_layer=1,
                    pixpro_pos_ratio=0.7, dtype=jnp.bfloat16,
                    fuse_views=fuse)
