@@ -78,6 +78,23 @@ def build_optimizer(cfg: PretrainConfig, lr_schedule, params):
     raise NotImplementedError(cfg.optim.optimizer)
 
 
+def live_flow_micro_batch(flow_bs: Optional[int],
+                          n_devices: int) -> Optional[int]:
+    """RAFT micro-batch for the on-the-fly flow pass. Unset -> 4 PER
+    DEVICE: the standalone corr-volume sweet spot (batch 4 beats 8 by
+    1.4x per-pair on v5e, docs/PERF.md), scaled by the mesh because
+    raft_fn sees the GLOBAL batch inside the GSPMD step — a fixed chunk
+    would idle a pod's chips. Mainly a memory bound in-step (A/B at batch
+    16 measured neutral, PERF.md). flow_bs<=0 requests the unchunked
+    full-batch pass; the reference's default was 8/GPU
+    (`contrast/util.py:136`)."""
+    if flow_bs is None:
+        return 4 * n_devices
+    if flow_bs <= 0:
+        return None
+    return flow_bs
+
+
 def _make_raft_fn(cfg: PretrainConfig, n_devices: int = 1):
     """Build the in-step RAFT flow closure for the on-the-fly path. With
     --flow_up, RAFT's own full-resolution output is used (convex upsampling
@@ -90,19 +107,7 @@ def _make_raft_fn(cfg: PretrainConfig, n_devices: int = 1):
         corr_dtype=None if cfg.flow.raft_corr_dtype == "follow"
         else getattr(jnp, cfg.flow.raft_corr_dtype))
 
-    # live RAFT over the full train batch blows past the corr volume's HBM
-    # sweet spot (batch 4/device beats 8 by 1.4x per-pair on v5e,
-    # docs/PERF.md); default the micro-batch to 4 PER DEVICE when unset
-    # (raft_fn sees the global batch inside the GSPMD step, so the chunk
-    # must scale with the mesh or chips idle). flow_bs<=0 requests the
-    # unchunked full-batch pass; the reference's default was 8/GPU
-    # (`contrast/util.py:136`).
-    if cfg.flow.flow_bs is None:
-        micro = 4 * n_devices
-    elif cfg.flow.flow_bs <= 0:
-        micro = None
-    else:
-        micro = cfg.flow.flow_bs
+    micro = live_flow_micro_batch(cfg.flow.flow_bs, n_devices)
 
     def raft_fn(frames):  # [B, n, H, W, 3] uint8
         return raft_batch_flows(raft, variables, frames,

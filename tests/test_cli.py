@@ -145,3 +145,14 @@ def test_multihost_rendezvous_missing_vars_fail_fast():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode != 0
     assert "rendezvous variables are required" in (r.stderr + r.stdout)
+
+
+def test_live_flow_micro_batch_policy():
+    """The live-RAFT chunking policy (driver.live_flow_micro_batch):
+    unset -> 4/device (mesh-scaled), <=0 -> unchunked, explicit wins."""
+    from pixflow_tpu.train.driver import live_flow_micro_batch
+    assert live_flow_micro_batch(None, 1) == 4
+    assert live_flow_micro_batch(None, 8) == 32
+    assert live_flow_micro_batch(0, 8) is None
+    assert live_flow_micro_batch(-1, 1) is None
+    assert live_flow_micro_batch(16, 8) == 16
