@@ -194,3 +194,19 @@ class LinearConfig:
 
     def to_json(self, **kw) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=str, **kw)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LinearConfig":
+        return cls(
+            data=DataConfig(**d.get("data", {})),
+            model=ModelConfig(**d.get("model", {})),
+            optim=OptimConfig(**d.get("optim", {})),
+            runtime=RuntimeConfig(**d.get("runtime", {})),
+            total_batch_size=d.get("total_batch_size", 256),
+            num_classes=d.get("num_classes", 1000),
+            eval_only=d.get("eval_only", False),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "LinearConfig":
+        return cls.from_dict(json.loads(s))

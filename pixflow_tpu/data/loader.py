@@ -2,9 +2,20 @@
 
 Replaces the reference's DataLoader + DistributedSampler stack
 (`contrast/data/__init__.py:70-85`): deterministic per-epoch shuffling keyed
-on (seed, epoch) with wrap-around padding, per-host index striding (one JAX
+on (seed, epoch) with wrap-around padding, per-host sharding (one JAX
 process per host feeds its local slice of the global batch), and a
 prefetch pipeline that decodes/augments ahead of the device step.
+
+Topology invariance (stronger than DistributedSampler's interleaved
+striding): the global batch sequence is a pure function of
+(seed, epoch, global_batch_size) — host h of H feeds the contiguous rows
+[h*bs, (h+1)*bs) of every global batch, which is exactly the slice that
+`NamedSharding(mesh, P("data"))` places on host h's devices, and each
+sample's augmentation rng is derived from (seed, epoch, dataset index)
+only. An N-process run therefore assembles bit-identical global batches
+(and identical per-device shards) to a 1-process N-device run — the
+multi-process integration test (tests/test_multiprocess.py) pins this end
+to end: discrete pair statistics exact, loss to float32 ulp noise.
 
 Two worker models, selected by `worker_mode`:
   * 'thread'  — a thread pool inside the producer. Zero IPC cost, but JPEG
@@ -117,7 +128,19 @@ class ShardedLoader:
         total = per_host * self.num_hosts
         if total > n:  # wrap-around padding, DistributedSampler-style
             order = np.concatenate([order, order[: total - n]])
-        return order[self.host_id::self.num_hosts]
+        if self.num_hosts == 1:
+            return order
+        # contiguous per-global-batch blocking (see module docstring): host
+        # h takes rows [h*bs, (h+1)*bs) of each global batch so per-device
+        # shard contents match the single-process sharding layout exactly
+        bs, hosts = self.local_batch_size, self.num_hosts
+        nb = per_host // bs  # full global batches
+        full = nb * bs * hosts
+        head = order[:full].reshape(nb, hosts, bs)[:, self.host_id]
+        rem = per_host - nb * bs  # ragged tail (only consumed by drop_last=False)
+        tail = order[full + self.host_id * rem:
+                     full + (self.host_id + 1) * rem]
+        return np.concatenate([head.reshape(-1), tail])
 
     def epoch(self, epoch: int,
               skip_batches: int = 0) -> Iterator[Dict[str, np.ndarray]]:
@@ -132,7 +155,10 @@ class ShardedLoader:
         if skip_batches:
             indices = indices[skip_batches * bs:]
             n_batches = max(n_batches - skip_batches, 0)
-        base_seed = self.seed * 7919 + epoch * 104729 + self.host_id
+        # host-independent per-sample rng: the same dataset index draws the
+        # same augmentations no matter which host (or how many hosts) loads
+        # it — required for the topology-invariance contract above
+        base_seed = self.seed * 7919 + epoch * 104729
 
         def fetch(i):
             rng = random.Random(base_seed + int(i))

@@ -12,7 +12,7 @@ import numpy as np
 
 from ..configs import LinearConfig
 from ..data import ShardedLoader, VideoFrameDataset, get_transform, list_image_folder
-from ..parallel import make_data_mesh
+from ..parallel import host_sum, make_data_mesh, make_global_batch, DATA_AXIS
 from ..train.schedule import make_lr_schedule
 from ..utils import (AverageMeter, latest_checkpoint, load_checkpoint,
                      save_checkpoint, setup_logger)
@@ -38,6 +38,10 @@ def _loader(cfg: LinearConfig, prefix: str, aug: str, batch: int):
 
 
 def evaluate(state, eval_step, loader, to_device):
+    """Validation pass with cross-process metric reduction (the reference
+    all-reduces acc1/acc5/loss across ranks, `main_linear.py:248-250`):
+    every process sums its local sample-weighted metrics, then the totals
+    are summed over processes so the returned numbers are global."""
     sums = {"loss": 0.0, "acc1": 0.0, "acc5": 0.0}
     n = 0
     for batch in loader.epoch(0):
@@ -47,7 +51,9 @@ def evaluate(state, eval_step, loader, to_device):
         for k in sums:
             sums[k] += float(m[k]) * bs
         n += bs
-    return {k: v / max(n, 1) for k, v in sums.items()}
+    totals = host_sum({**sums, "n": float(n)})
+    n_total = max(totals.pop("n"), 1.0)
+    return {k: v / n_total for k, v in totals.items()}
 
 
 def linear_eval(cfg: LinearConfig, pretrained_path: str,
@@ -99,11 +105,27 @@ def linear_eval(cfg: LinearConfig, pretrained_path: str,
         logger.info("resumed linear probe from %s (epoch %d, best %.2f)",
                     resume_path, ckpt_epoch, best_acc1)
 
+    if mesh is not None:
+        # replicated global arrays on the mesh (required once the mesh
+        # spans processes; a no-op device_put single-process)
+        from ..parallel import replicate_tree
+        state = replicate_tree(state, mesh)
+
     def collate(batch):
         return {"image": batch["im1"], "label": batch["target"]}
 
-    def to_device(b):
-        return jax.device_put(b)
+    # mesh-aware transfer: shard the batch over the data axis (and on
+    # multi-process runs assemble each host's rows into the global array);
+    # without a mesh, a plain single-device put
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+        def to_device(b):
+            return make_global_batch(b, batch_sharding)
+    else:
+        def to_device(b):
+            return jax.device_put(b)
 
     train_step = make_linear_train_step(model, tx, lr_schedule, mesh)
     eval_step = make_linear_eval_step(model, mesh)

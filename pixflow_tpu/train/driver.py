@@ -20,7 +20,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..configs import PretrainConfig
 from ..data import build_pretrain_loader
 from ..models import PixPro
-from ..parallel import make_data_mesh, DATA_AXIS
+from ..parallel import (any_process, make_data_mesh, make_global_batch,
+                        replicate_tree, DATA_AXIS)
 from ..utils import (AverageMeter, latest_checkpoint, load_checkpoint,
                      save_checkpoint, setup_logger)
 from .lars import frozen_momentum_branch_mask, lars_sgd, sgd
@@ -211,10 +212,18 @@ def train(cfg: PretrainConfig):
     ckpt_backend = getattr(cfg.runtime, "checkpoint_backend", "msgpack")
 
     def _save_ckpt(epoch_, state_, extra_=None):
+        """Checkpoint save. COLLECTIVE for the orbax backend: every process
+        must call CheckpointManager.save() (orbax elects the primary writer
+        and each process writes its addressable shards) — gating it on rank
+        0 deadlocks the pod on the first save. msgpack stays rank-0-only
+        (single-writer whole-tree file, reference `main_pretrain.py:114-127`
+        torch.save-on-rank-0 semantics)."""
         if ckpt_backend == "orbax":
             from ..utils.checkpoint_orbax import save_checkpoint_orbax
             return save_checkpoint_orbax(cfg.runtime.output_dir, epoch_,
                                          state_, cfg.to_json(), extra=extra_)
+        if jax.process_index() != 0:
+            return None
         return save_checkpoint(cfg.runtime.output_dir, epoch_, state_,
                                cfg.to_json(), extra=extra_)
 
@@ -240,7 +249,7 @@ def train(cfg: PretrainConfig):
             else:
                 run_dir = p
             state, ckpt_epoch, ckpt_extra = load_checkpoint_orbax(
-                run_dir, state, step=step_num)
+                run_dir, state, step=step_num, mesh=mesh)
             start_epoch = ckpt_epoch + 1
             logger.info("resumed from orbax %s (epoch %d)", p, ckpt_epoch)
         elif resume_path:
@@ -255,7 +264,7 @@ def train(cfg: PretrainConfig):
             step = latest_checkpoint_orbax(cfg.runtime.output_dir)
             if step is not None:
                 state, ckpt_epoch, ckpt_extra = load_checkpoint_orbax(
-                    cfg.runtime.output_dir, state)
+                    cfg.runtime.output_dir, state, mesh=mesh)
                 start_epoch = ckpt_epoch + 1
                 logger.info("resumed from orbax step %d (epoch %d)",
                             step, ckpt_epoch)
@@ -285,6 +294,15 @@ def train(cfg: PretrainConfig):
         resume_skip_epoch = start_epoch
         logger.info("step-exact resume: epoch %d from batch %d",
                     start_epoch, resume_skip)
+
+    if mesh is not None:
+        # materialize the TrainState as fully replicated global arrays on
+        # the mesh. On multi-process runs host-local values cannot feed a
+        # mesh that spans non-addressable devices (init is same-seed
+        # deterministic and checkpoints live on the job's shared
+        # filesystem, so every process holds the identical host value);
+        # single-process this is the device_put the jit would have done.
+        state = replicate_tree(state, mesh)
 
     use_flow = cfg.flow.use_flow
     raft_fn = None
@@ -359,9 +377,15 @@ def train(cfg: PretrainConfig):
         t_end = time.time()
         skip = resume_skip if epoch == resume_skip_epoch else 0
         preempt_idx = None
+        preempted = False
         for idx, batch in enumerate(loader.epoch(epoch, skip_batches=skip),
                                     start=skip):
-            if stop_requested.is_set():
+            # preemption is a GLOBAL decision: each process votes every
+            # step (a one-word allgather, multi-process runs only) so all
+            # ranks break before the same batch — a lone rank stopping
+            # early would strand the others in the next step's collectives
+            if any_process(stop_requested.is_set()):
+                preempted = True
                 preempt_idx = idx  # this batch has NOT been stepped
                 break
             if cfg.flow.use_flow_frames and cfg.flow.use_flow:
@@ -370,7 +394,10 @@ def train(cfg: PretrainConfig):
                 n_eff = batch.pop("n_frames_eff", None)
             batch.pop("index", None)
             batch.pop("target", None)
-            device_batch = jax.device_put(batch, batch_sharding)
+            # multi-process: assemble each host's local rows into the
+            # global batch array (make_array_from_process_local_data);
+            # single-process: plain device_put
+            device_batch = make_global_batch(batch, batch_sharding)
 
             # optional jax profiler window over steps 10..15
             if cfg.runtime.profile_dir and global_step == 10 and not profiling:
@@ -444,16 +471,21 @@ def train(cfg: PretrainConfig):
                                       mask_dbg)
             t_end = time.time()
 
-        if stop_requested.is_set():
+        if not preempted:
+            # TERM that landed after the epoch's last batch: still a global
+            # vote, so every rank takes the same branch below
+            preempted = any_process(stop_requested.is_set())
+        if preempted:
             # step-exact preemption: record (epoch, next batch) so resume
             # fast-forwards the deterministic loader stream — no redone
-            # steps, no skipped data, step counter exact
+            # steps, no skipped data, step counter exact. _save_ckpt is
+            # collective under orbax: all ranks call it.
+            extra = ({"resume_epoch": epoch, "resume_idx": preempt_idx}
+                     if preempt_idx else None)
+            # TERM after the epoch's last batch: the epoch IS complete
+            done = epoch if preempt_idx is None else epoch - 1
+            path = _save_ckpt(max(done, start_epoch - 1), state, extra)
             if jax.process_index() == 0:
-                extra = ({"resume_epoch": epoch, "resume_idx": preempt_idx}
-                         if preempt_idx else None)
-                # TERM after the epoch's last batch: the epoch IS complete
-                done = epoch if preempt_idx is None else epoch - 1
-                path = _save_ckpt(max(done, start_epoch - 1), state, extra)
                 logger.info("SIGTERM: saved preemption checkpoint %s at "
                             "step %d (resume %s); exiting cleanly",
                             path, int(state.step),
@@ -461,10 +493,10 @@ def train(cfg: PretrainConfig):
                             if preempt_idx else f"epoch {epoch}")
             break
 
-        if jax.process_index() == 0 and (
-                epoch % cfg.runtime.save_freq == 0 or epoch == max_epoch):
+        if epoch % cfg.runtime.save_freq == 0 or epoch == max_epoch:
             path = _save_ckpt(epoch, state)
-            logger.info("saved checkpoint %s", path)
+            if path is not None and jax.process_index() == 0:
+                logger.info("saved checkpoint %s", path)
     finally:
         if prev_handler is not None:
             try:

@@ -63,11 +63,25 @@ def latest_checkpoint_orbax(output_dir: str) -> Optional[int]:
 
 
 def load_checkpoint_orbax(output_dir: str, state_template,
-                          step: Optional[int] = None
+                          step: Optional[int] = None, mesh=None
                           ) -> Tuple[object, int, dict]:
-    """Restore (state, epoch, extra); step=None loads the newest."""
+    """Restore (state, epoch, extra); step=None loads the newest.
+
+    With `mesh` (required when the run spans processes), arrays restore
+    straight into fully replicated global shardings on that mesh — every
+    process calls this collectively and reads its shards from the shared
+    checkpoint directory."""
+    import jax
     import orbax.checkpoint as ocp
 
+    if mesh is not None and jax.process_count() > 1:
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(mesh, P())
+        state_template = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(
+                np.shape(x), np.asarray(x).dtype, sharding=sharding),
+            state_template)
     mgr = _manager(output_dir, create=False)
     step = mgr.latest_step() if step is None else step
     assert step is not None, f"no orbax checkpoints under {output_dir}"

@@ -173,6 +173,30 @@ def test_sharded_loader_partition_and_determinism(synth_root):
     assert a != c or N_VIDEOS <= 2
 
 
+def test_sharded_loader_topology_invariance(synth_root):
+    """The global batch stream is independent of host count: concatenating
+    the H hosts' local batches (in host order) reproduces the 1-host global
+    batches bit-for-bit, including augmentation draws. This is what makes an
+    N-process run numerically identical to a 1-process N-device run."""
+    t = get_transform("BYOL", 0.2, image_size=32)
+    videos = list_image_folder(os.path.join(synth_root, "train"), "bdd100k")
+    ds = VideoFrameDataset(samples=videos, transform=t, n_frames=1,
+                           two_crop=True)
+    single = ShardedLoader(ds, 4, num_hosts=1, host_id=0, seed=7,
+                           num_threads=1)
+    hosts = [ShardedLoader(ds, 4, num_hosts=2, host_id=h, seed=7,
+                           num_threads=1) for h in range(2)]
+    for epoch in (0, 3):
+        ref = list(single.epoch(epoch))
+        parts = [list(h.epoch(epoch)) for h in hosts]
+        assert len(ref) == len(parts[0]) == len(parts[1])
+        for b_ref, b0, b1 in zip(ref, *parts):
+            for k in b_ref:
+                glob = np.concatenate([b0[k], b1[k]], axis=0)
+                np.testing.assert_array_equal(
+                    glob, b_ref[k], err_msg=f"epoch {epoch} key {k}")
+
+
 def test_process_workers_match_thread_workers(synth_root):
     """worker_mode='process' (forked decode workers) yields bit-identical
     batches to the thread pool — same per-index RNG stream."""

@@ -39,7 +39,13 @@ def _one(job):
     try:
         out = transcode_restart(data)
     except ValueError:
-        return (len(data), len(data), "fail")
+        # keep the mirrored corpus complete: copy the original bytes (the
+        # decoder auto-falls back on non-restart streams), report the path
+        if dst != src:
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            with open(dst, "wb") as f:
+                f.write(data)
+        return (len(data), len(data), "fail", src)
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     tmp = dst + ".tmp"
     with open(tmp, "wb") as f:
@@ -75,13 +81,17 @@ def main():
 
     n_ok = sum(r[2] == "ok" for r in results)
     n_skip = sum(r[2] == "skip" for r in results)
-    n_fail = sum(r[2] == "fail" for r in results)
+    failed = [r[3] for r in results if r[2] == "fail"]
     before = sum(r[0] for r in results)
     after = sum(r[1] for r in results)
     growth = (after - before) / max(before, 1) * 100
-    print(f"transcoded {n_ok}, already-aligned {n_skip}, failed {n_fail}; "
+    print(f"transcoded {n_ok}, already-aligned {n_skip}, "
+          f"failed {len(failed)}; "
           f"size {before/1e6:.1f} -> {after/1e6:.1f} MB ({growth:+.2f}%)")
-    if n_fail:
+    for path in failed:
+        print(f"FAILED (copied verbatim): {path}" if a.out
+              else f"FAILED (left untouched): {path}")
+    if failed:
         sys.exit(1)
 
 
