@@ -41,6 +41,7 @@
 #include <cstddef>
 #include <cstdio>  // jpeglib.h needs size_t/FILE declared first
 #include <jpeglib.h>
+#include <jerror.h>  // ERREXIT macros for the custom destination manager
 #include <setjmp.h>
 
 #include <algorithm>
@@ -377,11 +378,52 @@ bool try_restart_splice(const unsigned char* buf, long len, int y, int w,
 
 // Lossless coefficient-domain transcode (jpegtran-style) writing a DRI
 // restart interval of `rows` MCU rows — the data-prep half of the fast
-// path. Output buffer lives in thread_locals (static storage duration:
-// well-defined across the longjmp error path); locals here are trivially
-// destructible, per decode_band's pattern.
+// path.
+//
+// Output goes through a CUSTOM in-memory destination manager, not libjpeg's
+// jpeg_mem_dest: that one frees the old buffer on every growth but only
+// publishes the new pointer in term_destination, so an ERREXIT raised
+// between a growth and term (corrupt-but-decodable coefficients, OOM)
+// leaves *outbuffer dangling and any cleanup free() is a double free — and
+// since its initial buffer is 4KB, every real image grows at least once.
+// Here the live pointer is kept in the thread_local at all times (realloc
+// publishes immediately), the buffer persists across calls (no per-call
+// malloc churn; bounded by the largest JPEG a thread transcodes), and the
+// longjmp error path needs no buffer cleanup at all. thread_locals have
+// static storage duration: well-defined across longjmp, per decode_band's
+// pattern.
 thread_local unsigned char* tl_obuf = nullptr;
-thread_local unsigned long tl_osize = 0;
+thread_local unsigned long tl_ocap = 0;   // live allocation size
+thread_local unsigned long tl_osize = 0;  // bytes produced by the last run
+
+void mem_dst_init(j_compress_ptr c) {
+  if (tl_obuf == nullptr) {
+    tl_ocap = 64 * 1024;
+    tl_obuf = static_cast<unsigned char*>(malloc(tl_ocap));
+    if (tl_obuf == nullptr) {
+      tl_ocap = 0;
+      ERREXIT1(c, JERR_OUT_OF_MEMORY, 12);
+    }
+  }
+  c->dest->next_output_byte = tl_obuf;
+  c->dest->free_in_buffer = tl_ocap;
+}
+
+boolean mem_dst_empty(j_compress_ptr c) {
+  // contract: called with the buffer completely full; grow and continue
+  unsigned long newcap = tl_ocap * 2;
+  unsigned char* nb = static_cast<unsigned char*>(realloc(tl_obuf, newcap));
+  if (nb == nullptr) ERREXIT1(c, JERR_OUT_OF_MEMORY, 12);
+  tl_obuf = nb;  // published before any fallible op: error paths stay exact
+  c->dest->next_output_byte = tl_obuf + tl_ocap;
+  c->dest->free_in_buffer = newcap - tl_ocap;
+  tl_ocap = newcap;
+  return TRUE;
+}
+
+void mem_dst_term(j_compress_ptr c) {
+  tl_osize = tl_ocap - static_cast<unsigned long>(c->dest->free_in_buffer);
+}
 
 int transcode_impl(const unsigned char* buf, long len, int rows,
                    unsigned char* out, long out_cap, long* out_len) {
@@ -389,7 +431,6 @@ int transcode_impl(const unsigned char* buf, long len, int rows,
   jpeg_compress_struct dst;
   ErrMgr jerr;
   volatile int created = 0;
-  tl_obuf = nullptr;
   tl_osize = 0;
   src.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = err_exit;
@@ -398,8 +439,7 @@ int transcode_impl(const unsigned char* buf, long len, int rows,
   if (setjmp(jerr.jb)) {
     if (created >= 2) jpeg_destroy_compress(&dst);
     jpeg_destroy_decompress(&src);
-    if (tl_obuf) { free(tl_obuf); tl_obuf = nullptr; }
-    return 1;
+    return 1;  // tl_obuf stays live for the next call — nothing to free
   }
   jpeg_create_decompress(&src);
   created = 1;
@@ -409,7 +449,11 @@ int transcode_impl(const unsigned char* buf, long len, int rows,
   jpeg_create_compress(&dst);
   created = 2;
   dst.err = src.err;
-  jpeg_mem_dest(&dst, &tl_obuf, &tl_osize);
+  jpeg_destination_mgr dmgr;
+  dmgr.init_destination = mem_dst_init;
+  dmgr.empty_output_buffer = mem_dst_empty;
+  dmgr.term_destination = mem_dst_term;
+  dst.dest = &dmgr;
   jpeg_copy_critical_parameters(&src, &dst);
   dst.restart_in_rows = rows;
   jpeg_write_coefficients(&dst, coefs);
@@ -418,15 +462,11 @@ int transcode_impl(const unsigned char* buf, long len, int rows,
   jpeg_destroy_compress(&dst);
   jpeg_destroy_decompress(&src);
   *out_len = (long)tl_osize;
-  int rc = 0;
   if ((long)tl_osize > out_cap) {
-    rc = 5;  // caller retries with a *out_len-byte buffer
-  } else {
-    std::memcpy(out, tl_obuf, tl_osize);
+    return 5;  // caller retries with a *out_len-byte buffer
   }
-  free(tl_obuf);
-  tl_obuf = nullptr;
-  return rc;
+  std::memcpy(out, tl_obuf, tl_osize);
+  return 0;
 }
 
 }  // namespace

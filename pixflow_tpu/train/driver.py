@@ -154,11 +154,17 @@ def train(cfg: PretrainConfig):
     loader = build_pretrain_loader(
         cfg, global_batch_size=global_batch,
         num_hosts=jax.process_count(), host_id=jax.process_index())
+    # restart-transcode rides the native ROI decoder (datasets.py requires
+    # both); without it the flag would silently do nothing while still
+    # triggering whole-corpus byte caching below — surface that.
+    restart_transcode = (getattr(cfg.data, "restart_transcode", False)
+                         and getattr(cfg.data, "native_decode", False))
+    if getattr(cfg.data, "restart_transcode", False) and not restart_transcode:
+        logger.warning("--restart-transcode requires --native-decode; "
+                       "ignoring it (no in-memory transcode, no byte cache)")
     # byte cache: zip mode (reference semantics) — or any corpus when the
     # restart-transcode fast decode path needs cached bytes to rewrite
-    if cfg.data.cache_mode != "no" and (
-            cfg.data.zip_mode or getattr(cfg.data, "restart_transcode",
-                                         False)):
+    if cfg.data.cache_mode != "no" and (cfg.data.zip_mode or restart_transcode):
         loader.dataset.init_cache(cfg.data.cache_mode, jax.process_index(),
                                   jax.process_count())
     steps_per_epoch = len(loader)

@@ -98,8 +98,11 @@ def make_train_step(
     Returns step_fn(state, batch) -> (new_state, metrics).
     """
     if use_flow_frames:
-        assert use_flow and raft_fn is None, \
-            "multi-span training uses precomputed flow files"
+        # multi-span works with precomputed flow files OR live RAFT: the
+        # reference's on-the-fly branch composes every (span,start) window
+        # too (`contrast/util.py:129-171` calls all_concat_flow with
+        # use_flow_frames on freshly computed flows).
+        assert use_flow, "use_flow_frames requires use_flow"
     assert getattr(model, "axis_name", None) is None, \
         "GSPMD step: build the model with axis_name=None (BN stats are " \
         "global through sharding propagation, not named collectives)"
@@ -164,8 +167,10 @@ def make_train_step(
         def loss_fn(p):
             variables = {"params": p, "batch_stats": state.batch_stats}
             if use_flow_frames:
-                from ..ops.flow import span_windows
-                spans = span_windows(batch["flows_fwd"].shape[1])
+                # span enumeration from the flow stack itself (precomputed
+                # [B,K,...] files or the live raft_fn output), so the live
+                # path needs no flows_fwd batch key
+                spans = span_windows(flows_fwd.shape[1])
                 if device_aug:
                     ims1 = _prep_images_aug(batch["ims1"], batch["augs1"])
                     ims2 = _prep_images_aug(batch["ims2"], batch["augs2"])
@@ -199,14 +204,23 @@ def make_train_step(
         updates, new_opt_state = tx.update(grads, state.opt_state, params)
         new_params = optax.apply_updates(params, updates)
 
-        # metrics (aggregated on-device; reference `main_pretrain.py:280-307`)
+        # metrics (aggregated on-device). The reference meters the two pair
+        # directions separately (`main_pretrain.py:280-307` pos_1/pos_2);
+        # surface both per-direction values and the combined aggregates.
+        pos_num_1 = jnp.sum(stats["pos_num_1"])
+        pos_num_2 = jnp.sum(stats["pos_num_2"])
+        pos_mean_1 = jnp.mean(stats["pos_mean_1"])
+        pos_mean_2 = jnp.mean(stats["pos_mean_2"])
         metrics = {
             "loss": loss,
             "lr": lr_schedule(state.step),
             "ema_momentum": m,
-            "pos_num": jnp.sum(stats["pos_num_1"]) + jnp.sum(stats["pos_num_2"]),
-            "pos_mean": (jnp.mean(stats["pos_mean_1"])
-                         + jnp.mean(stats["pos_mean_2"])) / 2.0,
+            "pos_num_1": pos_num_1,
+            "pos_num_2": pos_num_2,
+            "pos_mean_1": pos_mean_1,
+            "pos_mean_2": pos_mean_2,
+            "pos_num": pos_num_1 + pos_num_2,
+            "pos_mean": (pos_mean_1 + pos_mean_2) / 2.0,
         }
         if mask_fwd is not None:
             metrics["mask_ratio_fwd"] = jnp.mean(mask_ratio(mask_fwd))

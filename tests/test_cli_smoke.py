@@ -53,3 +53,10 @@ def test_main_pretrain_cli(tiny_data, tmp_path):
     with open(os.path.join(out, "metrics.jsonl")) as f:
         rec = json.loads(f.readline())
     assert "loss" in rec and np.isfinite(rec["loss"])
+    # per-direction pair telemetry (reference meters pos_1/pos_2 separately,
+    # `main_pretrain.py:280-307`) plus the combined aggregates
+    for key in ("pos_num_1", "pos_num_2", "pos_mean_1", "pos_mean_2",
+                "pos_num", "pos_mean"):
+        assert key in rec, key
+    assert rec["pos_num"] == pytest.approx(
+        rec["pos_num_1"] + rec["pos_num_2"])

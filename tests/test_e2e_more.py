@@ -172,6 +172,63 @@ def test_live_raft_flow_through_driver(tmp_path):
                                        "current.msgpack"))
 
 
+def test_live_raft_multi_span_through_driver(tmp_path):
+    """On-the-fly RAFT + use_flow_frames end-to-end (the reference composes
+    every (span,start) window from live flows too, `contrast/util.py:129-171`):
+    the loader emits per-frame crop stacks AND raw frames; the compiled step
+    runs frames -> RAFT -> per-span compose -> multi-span loss."""
+    import argparse
+    import sys
+    import types
+
+    import torch
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from contrast.flow import RAFT as RefRAFT
+
+    torch.manual_seed(17)
+    targs = argparse.Namespace(small=True, dropout=0.0, alternate_corr=False,
+                               mixed_precision=False)
+    ckpt = str(tmp_path / "raft-small.pth")
+    torch.save(torch.nn.DataParallel(RefRAFT(targs)).state_dict(), ckpt)
+
+    rng = np.random.default_rng(21)
+    root = tmp_path / "data"
+    for v in range(8):
+        vd = root / "train" / f"v{v:02d}"
+        vd.mkdir(parents=True)
+        for f in range(4):  # one 2-frame video exercises n_frames_eff padding
+            if v == 0 and f >= 2:
+                continue
+            Image.fromarray(rng.integers(0, 255, (48, 64, 3)).astype(
+                np.uint8)).save(vd / f"f{f:02d}.jpg")
+
+    from pixflow_tpu.train.driver import train
+    cfg = _tiny_cfg(str(root), str(tmp_path / "out"))
+    cfg.data.dataset = "bdd100k"
+    cfg.data.n_frames = 3
+    cfg.flow.use_flow = True
+    cfg.flow.use_flow_file = False
+    cfg.flow.use_flow_frames = True
+    cfg.flow.flow_model = ckpt
+    cfg.flow.small = True
+    cfg.flow.raft_iters = 2
+    cfg.flow.flow_bs = None
+    cfg.flow.alpha1 = 0.01
+    cfg.flow.alpha2 = 0.5
+
+    state = train(cfg)
+    assert int(state.step) == 1
+    assert os.path.exists(os.path.join(str(tmp_path / "out"),
+                                       "current.msgpack"))
+
+
 def test_device_aug_through_driver(tmp_path):
     """--device-aug end-to-end: loader emits uint8 crops + aug params, the
     compiled step applies the photometric stack on-device."""

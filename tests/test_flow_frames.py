@@ -163,6 +163,73 @@ def test_live_raft_train_step():
     assert "mask_ratio_fwd" in metrics
 
 
+def test_live_raft_multi_span_matches_file_path():
+    """Live RAFT + multi-span (reference on-the-fly branch,
+    `contrast/util.py:129-171`: freshly computed flows feed the same
+    all_concat_flow per-(span,start) composition as precomputed files):
+    the in-step raft_fn wiring must reproduce the file path exactly when
+    the 'files' contain the very flows raft_fn computes."""
+    from pixflow_tpu.models.raft import RAFT, raft_batch_flows
+
+    n_frames, b, hw = 3, 2, 32
+    f = k = n_frames - 1
+    raft = RAFT(small=True)
+    frames = jnp.asarray(RNG.integers(0, 255, (b, n_frames, hw, hw, 3))
+                         .astype(np.float32))
+    raft_vars = raft.init(jax.random.PRNGKey(2), frames[:, 0], frames[:, 1],
+                          iters=1)
+
+    def raft_fn(fr):
+        return raft_batch_flows(raft, raft_vars, fr, iters=1)
+
+    common = {
+        "ims1": jnp.asarray(RNG.standard_normal((b, f, hw, hw, 3))
+                            .astype(np.float32)),
+        "ims2": jnp.asarray(RNG.standard_normal((b, f, hw, hw, 3))
+                            .astype(np.float32)),
+        "coords1": jnp.asarray(_coords(b, f)),
+        "coords2": jnp.asarray(_coords(b, f)),
+        "n_frames_eff": jnp.asarray([3, 2], jnp.int32),
+    }
+    flows_fwd, flows_bwd = raft_fn(frames)
+    assert flows_fwd.shape == (b, k, hw // 8, hw // 8, 2)
+    batches = {
+        "live": {**common, "frames": frames},
+        "file": {**common, "flows_fwd": flows_fwd, "flows_bwd": flows_bwd},
+    }
+
+    model = PixPro(arch="resnet18", pixpro_p=2.0, pixpro_transform_layer=1,
+                   proj_inner_dim=64, proj_out_dim=32)
+    lr = warmup_cosine(0.1, 10, 1, 5)
+    results = {}
+    for mode, batch in batches.items():
+        tx0 = lars_sgd(lr, weight_decay=1e-5)
+        state = create_train_state(jax.random.PRNGKey(0), model, tx0,
+                                   {"im1": batch["ims1"][:1, 0]})
+        tx = lars_sgd(lr, weight_decay=1e-5,
+                      frozen_mask=frozen_momentum_branch_mask(state.params))
+        state = state.replace(opt_state=tx.init(state.params))
+        step = make_train_step(
+            model, tx, lr_schedule=lr, ema_total_steps=50,
+            ema_base_momentum=0.99, use_flow=True, use_flow_frames=True,
+            alpha1=0.01, alpha2=0.5,
+            raft_fn=raft_fn if mode == "live" else None, donate=False)
+        state, metrics = step(state, batch)
+        results[mode] = (state, {kk: float(v) for kk, v in metrics.items()})
+
+    m_live, m_file = results["live"][1], results["file"][1]
+    # discrete pair counts exact; continuous values to f32 fusion noise
+    assert m_live["pos_num"] == m_file["pos_num"]
+    assert m_live["pos_num_1"] == m_file["pos_num_1"]
+    np.testing.assert_allclose(m_live["loss"], m_file["loss"], rtol=1e-5)
+    np.testing.assert_allclose(m_live["mask_ratio_fwd"],
+                               m_file["mask_ratio_fwd"], rtol=1e-5)
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-6),
+        results["live"][0].params, results["file"][0].params)
+
+
 def test_dataset_emits_frame_crop_stacks(tmp_path):
     from PIL import Image
     import torch
