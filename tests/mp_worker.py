@@ -15,6 +15,10 @@ Usage:
 Modes:
     pretrain  — run the full pretrain driver (train()); cfg_json is a
                 PretrainConfig dump. Writes {"step": final_step}.
+    pretrain_sigterm — same, but rank 1 (and ONLY rank 1) SIGTERMs itself
+                after the first logged step: the driver's global preemption
+                vote must stop BOTH ranks before the same batch, or the
+                un-signalled rank deadlocks in the next step's collectives.
     linear    — run linear_eval(); extra = pretrained checkpoint path.
                 Writes the returned metrics dict (must be GLOBAL, i.e.
                 identical on every rank).
@@ -48,10 +52,30 @@ def main():
     with open(cfg_path) as f:
         cfg_json = f.read()
 
-    if mode == "pretrain":
+    if mode in ("pretrain", "pretrain_sigterm"):
         from pixflow_tpu.configs import PretrainConfig
         from pixflow_tpu.train.driver import train
         cfg = PretrainConfig.from_json(cfg_json)
+        if mode == "pretrain_sigterm" and pid == 1:
+            import signal
+            import threading
+            import time
+
+            def fire():
+                # wait for the first logged step (rank 0 writes
+                # metrics.jsonl to the shared output dir), then preempt
+                # THIS rank only — the global vote must stop the others
+                marker = os.path.join(cfg.runtime.output_dir,
+                                      "metrics.jsonl")
+                deadline = time.time() + 900
+                while time.time() < deadline:
+                    if (os.path.exists(marker)
+                            and os.path.getsize(marker) > 0):
+                        signal.raise_signal(signal.SIGTERM)
+                        return
+                    time.sleep(0.5)
+
+            threading.Thread(target=fire, daemon=True).start()
         state = train(cfg)
         result = {"step": int(state.step), "process": pid}
     elif mode == "linear":

@@ -203,6 +203,33 @@ def test_two_process_orbax_save_and_resume(synth_root, tmp_path_factory):
     assert os.path.isdir(os.path.join(out, "orbax", "4"))
 
 
+def test_two_process_sigterm_global_preemption(synth_root, tmp_path_factory):
+    """A SIGTERM on ONE rank must stop ALL ranks before the same batch (the
+    driver's per-step any_process vote) — a lone rank stopping early would
+    strand the others in the next step's collectives — and auto-resume must
+    then complete the run step-exactly."""
+    work = str(tmp_path_factory.mktemp("mp_sigterm"))
+    out = os.path.join(work, "out")
+    cfg = _pretrain_cfg(synth_root, out)
+    cfg.optim.epochs = 500          # far more than we let run
+    cfg.runtime.save_freq = 10**6   # only the preemption save can happen
+    results = _run_job("pretrain_sigterm", cfg.to_json(), work)
+    # both ranks broke at the same step, cleanly, mid-run
+    steps = [r["step"] for r in results]
+    assert steps[0] == steps[1], steps
+    assert 0 < steps[0] < 1000
+    assert os.path.exists(os.path.join(out, "current.msgpack"))
+
+    # resume to a small fixed horizon: total steps must be EXACTLY
+    # epochs * steps_per_epoch — nothing redone, nothing skipped
+    cfg2 = _pretrain_cfg(synth_root, out)
+    cfg2.optim.epochs = 3
+    cfg2.runtime.auto_resume = True
+    results2 = _run_job("pretrain", cfg2.to_json(),
+                        os.path.join(work, "resume"))
+    assert [r["step"] for r in results2] == [6, 6]  # 3 epochs x 2 steps
+
+
 @pytest.fixture(scope="module")
 def imagenet_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("tiny_imagenet_mp")
