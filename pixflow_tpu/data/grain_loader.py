@@ -21,6 +21,12 @@ batch, drop_last) combination; test-pinned). `ShardedLoader` instead pads
 to even shards, DistributedSampler-style, so on uneven datasets the grain
 backend's epoch is up to one batch SHORTER per host than the default
 backend's; within one backend all accounting is self-consistent.
+
+Topology invariance: NOT provided by this backend — grain's ShardOptions
+interleave records per host, so an N-process run draws different (equally
+valid) global batches than a 1-process N-device run. The bit-identical
+N-process == 1-process guarantee (loader.py module docstring,
+tests/test_multiprocess.py) holds for the default ShardedLoader only.
 """
 
 from __future__ import annotations

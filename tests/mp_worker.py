@@ -33,8 +33,11 @@ def main():
     mode, port, pid, nprocs, cfg_path, result_path = sys.argv[1:7]
     pid, nprocs = int(pid), int(nprocs)
 
-    # one virtual CPU device per process, BEFORE jax import
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # virtual CPU devices per process (default 1; a real TPU host owns
+    # several chips, so tests also run 2/process), BEFORE jax import
+    local_devices = int(os.environ.get("MP_LOCAL_DEVICES", "1"))
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}")
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
 
@@ -47,7 +50,8 @@ def main():
         pass  # older jax: gloo is the default
     jax.distributed.initialize(f"localhost:{port}", nprocs, pid)
     assert jax.process_count() == nprocs, jax.process_count()
-    assert len(jax.devices()) == nprocs, jax.devices()
+    assert len(jax.devices()) == nprocs * local_devices, jax.devices()
+    assert len(jax.local_devices()) == local_devices
 
     with open(cfg_path) as f:
         cfg_json = f.read()

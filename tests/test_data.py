@@ -173,7 +173,8 @@ def test_sharded_loader_partition_and_determinism(synth_root):
     assert a != c or N_VIDEOS <= 2
 
 
-def test_sharded_loader_topology_invariance(synth_root):
+@pytest.mark.parametrize("num_hosts", [2, 4])
+def test_sharded_loader_topology_invariance(synth_root, num_hosts):
     """The global batch stream is independent of host count: concatenating
     the H hosts' local batches (in host order) reproduces the 1-host global
     batches bit-for-bit, including augmentation draws. This is what makes an
@@ -184,15 +185,15 @@ def test_sharded_loader_topology_invariance(synth_root):
                            two_crop=True)
     single = ShardedLoader(ds, 4, num_hosts=1, host_id=0, seed=7,
                            num_threads=1)
-    hosts = [ShardedLoader(ds, 4, num_hosts=2, host_id=h, seed=7,
-                           num_threads=1) for h in range(2)]
+    hosts = [ShardedLoader(ds, 4, num_hosts=num_hosts, host_id=h, seed=7,
+                           num_threads=1) for h in range(num_hosts)]
     for epoch in (0, 3):
         ref = list(single.epoch(epoch))
         parts = [list(h.epoch(epoch)) for h in hosts]
-        assert len(ref) == len(parts[0]) == len(parts[1])
-        for b_ref, b0, b1 in zip(ref, *parts):
+        assert all(len(p) == len(ref) for p in parts)
+        for bi, b_ref in enumerate(ref):
             for k in b_ref:
-                glob = np.concatenate([b0[k], b1[k]], axis=0)
+                glob = np.concatenate([p[bi][k] for p in parts], axis=0)
                 np.testing.assert_array_equal(
                     glob, b_ref[k], err_msg=f"epoch {epoch} key {k}")
 

@@ -50,7 +50,8 @@ def _free_port() -> int:
     return port
 
 
-def _run_job(mode, cfg_json, workdir, extra=(), nprocs=NPROCS):
+def _run_job(mode, cfg_json, workdir, extra=(), nprocs=NPROCS,
+             local_devices=1):
     """Launch nprocs workers, wait for all, return their result dicts."""
     os.makedirs(workdir, exist_ok=True)
     cfg_path = os.path.join(workdir, "cfg.json")
@@ -59,6 +60,7 @@ def _run_job(mode, cfg_json, workdir, extra=(), nprocs=NPROCS):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    env["MP_LOCAL_DEVICES"] = str(local_devices)
     procs, results = [], []
     for pid in range(nprocs):
         res_path = os.path.join(workdir, f"result_{pid}.json")
@@ -201,6 +203,41 @@ def test_two_process_orbax_save_and_resume(synth_root, tmp_path_factory):
                         os.path.join(work, "resume"))
     assert [r["step"] for r in results2] == [4, 4]  # one more epoch ran
     assert os.path.isdir(os.path.join(out, "orbax", "4"))
+
+
+def test_two_process_two_local_devices_matches_single_process(
+        synth_root, tmp_path_factory, tmp_path):
+    """Real pod topology shape: each process owns SEVERAL devices (a TPU
+    host owns 4 chips). 2 processes x 2 local devices = a 4-device mesh;
+    make_array_from_process_local_data must split each host's contiguous
+    rows across its own devices exactly as the single-process 4-device
+    sharding would. Discrete stats exact, loss to ulp noise (module
+    docstring)."""
+    work = str(tmp_path_factory.mktemp("mp_2x2"))
+    out = os.path.join(work, "out")
+    cfg = _pretrain_cfg(synth_root, out)
+    cfg.data.batch_size = 1  # per device x 4 devices -> global 4
+    cfg.optim.epochs = 1     # 8 videos / global batch 4 = 2 steps
+    results = _run_job("pretrain", cfg.to_json(), work, local_devices=2)
+    assert [r["step"] for r in results] == [2, 2]
+
+    from pixflow_tpu.train.driver import train
+    out_sp = str(tmp_path / "sp_out")
+    cfg_sp = _pretrain_cfg(synth_root, out_sp)
+    cfg_sp.data.batch_size = 1
+    cfg_sp.optim.epochs = 1
+    cfg_sp.runtime.mesh_shape = 4
+    train(cfg_sp)
+
+    mp_recs, sp_recs = _read_metrics(out), _read_metrics(out_sp)
+    assert len(mp_recs) == len(sp_recs) == 2
+    for mp_r, sp_r in zip(mp_recs, sp_recs):
+        assert mp_r["step"] == sp_r["step"]
+        for key in ("pos_num", "pos_mean", "lr", "ema_momentum"):
+            assert mp_r[key] == sp_r[key], (
+                f"step {mp_r['step']} {key}: "
+                f"{mp_r[key]!r} != {sp_r[key]!r}")
+        assert mp_r["loss"] == pytest.approx(sp_r["loss"], rel=2e-5)
 
 
 def test_two_process_sigterm_global_preemption(synth_root, tmp_path_factory):
