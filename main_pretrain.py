@@ -62,6 +62,10 @@ def parse_args() -> PretrainConfig:
                    choices=["msgpack", "orbax"],
                    help="single atomic msgpack files, or orbax "
                         "CheckpointManager (multi-host sharded saves)")
+    p.add_argument("--preempt-vote-steps", type=int, default=16,
+                   help="multi-process runs vote on SIGTERM preemption by "
+                        "a host allgather every N batches (plus at epoch "
+                        "end); bounds the per-step sync cost")
     p.add_argument("--wandb", action="store_true",
                    help="log to Weights & Biases (auto-composed run name, "
                         "config + artifact upload; reference logger.py)")
@@ -221,6 +225,7 @@ def parse_args() -> PretrainConfig:
         ("wandb", r, "wandb"), ("wandb_project", r, "wandb_project"),
         ("wandb_entity", r, "wandb_entity"),
         ("checkpoint_backend", r, "checkpoint_backend"),
+        ("preempt_vote_steps", r, "preempt_vote_steps"),
     ]:
         if not a.recipe or given(field_):
             setattr(dst, attr, getattr(a, field_))

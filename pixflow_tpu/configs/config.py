@@ -145,6 +145,12 @@ class RuntimeConfig:
     # 'msgpack' (single atomic file, utils/checkpoint.py) or 'orbax'
     # (multi-host CheckpointManager saves, utils/checkpoint_orbax.py)
     checkpoint_backend: str = "msgpack"
+    # multi-process runs vote on SIGTERM preemption by a host allgather;
+    # voting every step would add a blocking cross-process sync per batch,
+    # so ranks vote only every N batches (all at the same indices) plus at
+    # end-of-epoch. Response latency <= N steps, well inside preemption
+    # grace windows. Single-process runs poll the local flag every step.
+    preempt_vote_steps: int = 16
     tensorboard: bool = True           # tf.summary scalars next to metrics.jsonl
     wandb: bool = False
     wandb_project: str = "pixflow-tpu"
@@ -197,14 +203,16 @@ class LinearConfig:
 
     @classmethod
     def from_dict(cls, d: dict) -> "LinearConfig":
+        # absent scalar keys fall through to the dataclass defaults (no
+        # duplicated literals to drift out of sync)
+        scalars = {k: d[k] for k in ("total_batch_size", "num_classes",
+                                     "eval_only") if k in d}
         return cls(
             data=DataConfig(**d.get("data", {})),
             model=ModelConfig(**d.get("model", {})),
             optim=OptimConfig(**d.get("optim", {})),
             runtime=RuntimeConfig(**d.get("runtime", {})),
-            total_batch_size=d.get("total_batch_size", 256),
-            num_classes=d.get("num_classes", 1000),
-            eval_only=d.get("eval_only", False),
+            **scalars,
         )
 
     @classmethod

@@ -16,6 +16,11 @@ only. An N-process run therefore assembles bit-identical global batches
 (and identical per-device shards) to a 1-process N-device run — the
 multi-process integration test (tests/test_multiprocess.py) pins this end
 to end: discrete pair statistics exact, loss to float32 ulp noise.
+Deliberate deviation from DistributedSampler: padding/truncation happens
+at GLOBAL batch granularity, so steps_per_epoch (which feeds the LR
+schedule and EMA ramp) is also topology-invariant — DistributedSampler's
+per-rank ceil-padding can add an extra step on some host counts when the
+dataset is ragged against the global batch.
 
 Two worker models, selected by `worker_mode`:
   * 'thread'  — a thread pool inside the producer. Zero IPC cost, but JPEG
@@ -110,12 +115,19 @@ class ShardedLoader:
             pass
 
     def __len__(self):
-        """Steps per epoch (matches DistributedSampler: pad-to-even split,
-        then drop_last batches)."""
-        per_host = int(np.ceil(len(self.dataset) / self.num_hosts))
+        """Steps per epoch — a pure function of (n, global_batch_size),
+        INDEPENDENT of host count (unlike DistributedSampler, whose
+        per-rank ceil-padding can add an extra step on some topologies:
+        n=7, G=4, 2 hosts pads each rank to 4 -> 2 steps, while 1 process
+        does 7//4=1 — step counts feed the LR schedule, so that would
+        silently change the training trajectory with the pod size).
+        drop_last=True (every production caller + the reference,
+        `contrast/data/__init__.py:85`) floors; drop_last=False ceils, with
+        the final batch wrap-padded to full static shape."""
+        n = len(self.dataset)
         if self.drop_last:
-            return per_host // self.local_batch_size
-        return int(np.ceil(per_host / self.local_batch_size))
+            return n // self.global_batch_size
+        return int(np.ceil(n / self.global_batch_size))
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -124,23 +136,20 @@ class ShardedLoader:
             order = g.permutation(n)
         else:
             order = np.arange(n)
-        per_host = int(np.ceil(n / self.num_hosts))
-        total = per_host * self.num_hosts
-        if total > n:  # wrap-around padding, DistributedSampler-style
+        # GLOBAL-batch blocking (see module docstring): truncate (drop_last)
+        # or wrap-pad (else) the global order to steps*G rows, then host h
+        # takes rows [h*bs, (h+1)*bs) of each global batch — exactly the
+        # slice `NamedSharding(mesh, P("data"))` places on host h's devices,
+        # so every topology consumes the identical global batch sequence
+        total = len(self) * self.global_batch_size
+        if total > n:  # wrap-around padding (drop_last=False only)
             order = np.concatenate([order, order[: total - n]])
+        else:
+            order = order[:total]
         if self.num_hosts == 1:
             return order
-        # contiguous per-global-batch blocking (see module docstring): host
-        # h takes rows [h*bs, (h+1)*bs) of each global batch so per-device
-        # shard contents match the single-process sharding layout exactly
-        bs, hosts = self.local_batch_size, self.num_hosts
-        nb = per_host // bs  # full global batches
-        full = nb * bs * hosts
-        head = order[:full].reshape(nb, hosts, bs)[:, self.host_id]
-        rem = per_host - nb * bs  # ragged tail (only consumed by drop_last=False)
-        tail = order[full + self.host_id * rem:
-                     full + (self.host_id + 1) * rem]
-        return np.concatenate([head.reshape(-1), tail])
+        return order.reshape(len(self), self.num_hosts,
+                             self.local_batch_size)[:, self.host_id].reshape(-1)
 
     def epoch(self, epoch: int,
               skip_batches: int = 0) -> Iterator[Dict[str, np.ndarray]]:

@@ -76,12 +76,24 @@ def any_process(flag: bool) -> bool:
 def host_sum(values: dict) -> dict:
     """Sum a dict of per-process float metrics across processes (the eval
     loop's cross-host reduction; reference all-reduces acc1/acc5/loss at
-    `main_linear.py:248-250`)."""
+    `main_linear.py:248-250`).
+
+    Transport precision: process_allgather canonicalizes float64 to
+    float32 when jax_enable_x64 is off (the default), which would round
+    each host's partial sum to ~7 digits — enough to flip a cross-topology
+    best_acc1 equality on large val sets. Each f64 value therefore travels
+    as a Dekker (hi, lo) float32 pair and is reconstructed in f64 on the
+    host before the final sum."""
     if jax.process_count() == 1:
         return {k: float(v) for k, v in values.items()}
     from jax.experimental import multihost_utils
     keys = sorted(values)
     vec = np.asarray([float(values[k]) for k in keys], np.float64)
-    all_vecs = np.asarray(multihost_utils.process_allgather(vec))
-    summed = all_vecs.reshape(jax.process_count(), len(keys)).sum(axis=0)
+    hi = vec.astype(np.float32)
+    lo = (vec - hi).astype(np.float32)
+    gathered = np.asarray(multihost_utils.process_allgather(
+        np.concatenate([hi, lo]))).reshape(jax.process_count(), 2, len(keys))
+    per_host = gathered[:, 0].astype(np.float64) + gathered[:, 1].astype(
+        np.float64)
+    summed = per_host.sum(axis=0)
     return dict(zip(keys, summed.tolist()))

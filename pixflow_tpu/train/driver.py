@@ -378,6 +378,22 @@ def train(cfg: PretrainConfig):
     # host-side mirror of state.step: fetching the device scalar every
     # iteration would force a device sync per step (costly via tunnels)
     global_step = int(state.step)
+
+    # preemption polling: single-process reads the local flag every step
+    # (free); multi-process runs vote by allgather only every
+    # preempt_vote_steps batches — ALL ranks at the SAME indices (a rank
+    # short-circuiting on its local flag would desynchronize the
+    # collective) — plus once at end-of-epoch, bounding both the per-step
+    # sync cost and the response latency.
+    vote_every = max(1, int(getattr(cfg.runtime, "preempt_vote_steps", 16)))
+    multi_process = jax.process_count() > 1
+
+    def poll_preempt(idx):
+        if not multi_process:
+            return stop_requested.is_set()
+        if idx % vote_every:
+            return False
+        return any_process(stop_requested.is_set())
     try:
       for epoch in range(start_epoch, max_epoch + 1):
         t_end = time.time()
@@ -386,11 +402,10 @@ def train(cfg: PretrainConfig):
         preempted = False
         for idx, batch in enumerate(loader.epoch(epoch, skip_batches=skip),
                                     start=skip):
-            # preemption is a GLOBAL decision: each process votes every
-            # step (a one-word allgather, multi-process runs only) so all
-            # ranks break before the same batch — a lone rank stopping
-            # early would strand the others in the next step's collectives
-            if any_process(stop_requested.is_set()):
+            # preemption is a GLOBAL decision (a lone rank stopping early
+            # would strand the others in the next step's collectives);
+            # see poll_preempt above for the vote cadence
+            if poll_preempt(idx):
                 preempted = True
                 preempt_idx = idx  # this batch has NOT been stepped
                 break

@@ -78,6 +78,13 @@ def main():
                         signal.raise_signal(signal.SIGTERM)
                         return
                     time.sleep(0.5)
+                # fail LOUDLY: without this the 500-epoch run would only
+                # die at the outer job timeout, misattributing the failure
+                # to the preemption logic under test
+                print("mp_worker: SIGTERM watcher deadline expired before "
+                      "the first logged step — signal never sent",
+                      flush=True)
+                os._exit(97)
 
             threading.Thread(target=fire, daemon=True).start()
         state = train(cfg)

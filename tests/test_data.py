@@ -198,6 +198,46 @@ def test_sharded_loader_topology_invariance(synth_root, num_hosts):
                     glob, b_ref[k], err_msg=f"epoch {epoch} key {k}")
 
 
+@pytest.mark.parametrize("num_hosts", [2, 4])
+def test_sharded_loader_ragged_topology_invariance(synth_root, num_hosts):
+    """Ragged dataset vs global batch (n=7, G=4): step count AND batch
+    contents must still be topology-invariant. DistributedSampler-style
+    per-rank ceil-padding would give 2 hosts a phantom extra step here
+    (ceil(7/2)=4 rows/host -> 2 local batches) while 1 process does
+    7//4=1 — and steps_per_epoch feeds the LR schedule."""
+    t = get_transform("NULL", 0.2, image_size=32)
+    videos = list_image_folder(os.path.join(synth_root, "train"), "bdd100k")
+    ds = VideoFrameDataset(samples=(videos * 2)[:7], transform=t,
+                           n_frames=1, two_crop=True)
+    single = ShardedLoader(ds, 4, num_hosts=1, host_id=0, seed=3,
+                           num_threads=1)
+    hosts = [ShardedLoader(ds, 4, num_hosts=num_hosts, host_id=h, seed=3,
+                           num_threads=1) for h in range(num_hosts)]
+    assert len(single) == 1 and all(len(h) == 1 for h in hosts)
+    ref = list(single.epoch(0))
+    parts = [list(h.epoch(0)) for h in hosts]
+    assert len(ref) == 1 and all(len(p) == 1 for p in parts)
+    for k in ref[0]:
+        glob = np.concatenate([p[0][k] for p in parts], axis=0)
+        np.testing.assert_array_equal(glob, ref[0][k], err_msg=k)
+
+    # drop_last=False: ceil(7/4)=2 steps, final batch wrap-padded to full
+    # static shape — identically across topologies
+    single_nd = ShardedLoader(ds, 4, num_hosts=1, host_id=0, seed=3,
+                              num_threads=1, drop_last=False)
+    hosts_nd = [ShardedLoader(ds, 4, num_hosts=num_hosts, host_id=h, seed=3,
+                              num_threads=1, drop_last=False)
+                for h in range(num_hosts)]
+    ref2 = list(single_nd.epoch(0))
+    parts2 = [list(h.epoch(0)) for h in hosts_nd]
+    assert len(ref2) == 2 and all(len(p) == 2 for p in parts2)
+    assert ref2[1]["im1"].shape[0] == 4  # padded to full global batch
+    for bi in range(2):
+        for k in ref2[bi]:
+            glob = np.concatenate([p[bi][k] for p in parts2], axis=0)
+            np.testing.assert_array_equal(glob, ref2[bi][k], err_msg=k)
+
+
 def test_process_workers_match_thread_workers(synth_root):
     """worker_mode='process' (forked decode workers) yields bit-identical
     batches to the thread pool — same per-index RNG stream."""

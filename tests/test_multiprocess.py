@@ -250,6 +250,8 @@ def test_two_process_sigterm_global_preemption(synth_root, tmp_path_factory):
     cfg = _pretrain_cfg(synth_root, out)
     cfg.optim.epochs = 500          # far more than we let run
     cfg.runtime.save_freq = 10**6   # only the preemption save can happen
+    cfg.runtime.preempt_vote_steps = 1  # vote every batch: exercise the
+    # mid-epoch vote path (production default 16 bounds the sync cost)
     results = _run_job("pretrain_sigterm", cfg.to_json(), work)
     # both ranks broke at the same step, cleanly, mid-run
     steps = [r["step"] for r in results]
