@@ -240,6 +240,33 @@ def test_two_process_two_local_devices_matches_single_process(
         assert mp_r["loss"] == pytest.approx(sp_r["loss"], rel=2e-5)
 
 
+def test_two_process_two_local_devices_orbax(synth_root, tmp_path_factory):
+    """Collective orbax on the real pod topology shape (2 procs x 2 local
+    devices): every rank saves its addressable shards of the 4-device
+    replicated state, and collective restore resumes training."""
+    work = str(tmp_path_factory.mktemp("mp_2x2_orbax"))
+    out = os.path.join(work, "out")
+    cfg = _pretrain_cfg(synth_root, out)
+    cfg.data.batch_size = 1  # per device x 4 devices -> global 4
+    cfg.optim.epochs = 1
+    cfg.runtime.checkpoint_backend = "orbax"
+    cfg.runtime.save_freq = 1
+    results = _run_job("pretrain", cfg.to_json(), work, local_devices=2)
+    assert [r["step"] for r in results] == [2, 2]
+    assert os.path.isdir(os.path.join(out, "orbax", "2"))
+
+    cfg2 = _pretrain_cfg(synth_root, out)
+    cfg2.data.batch_size = 1
+    cfg2.optim.epochs = 2
+    cfg2.runtime.checkpoint_backend = "orbax"
+    cfg2.runtime.save_freq = 1
+    cfg2.runtime.auto_resume = True
+    results2 = _run_job("pretrain", cfg2.to_json(),
+                        os.path.join(work, "resume"), local_devices=2)
+    assert [r["step"] for r in results2] == [4, 4]
+    assert os.path.isdir(os.path.join(out, "orbax", "4"))
+
+
 def test_two_process_sigterm_global_preemption(synth_root, tmp_path_factory):
     """A SIGTERM on ONE rank must stop ALL ranks before the same batch (the
     driver's per-step any_process vote) — a lone rank stopping early would
