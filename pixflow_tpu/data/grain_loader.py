@@ -17,10 +17,12 @@ draws are deterministic in (seed, epoch, host) — same guarantee as
 Epoch-length semantics: Grain shards with drop_remainder=True (each host
 gets exactly len(dataset)//num_hosts records — `__len__` floors to match,
 and `epoch()` yields exactly `len(self)` batches for every (n, hosts,
-batch, drop_last) combination; test-pinned). `ShardedLoader` instead pads
-to even shards, DistributedSampler-style, so on uneven datasets the grain
-backend's epoch is up to one batch SHORTER per host than the default
-backend's; within one backend all accounting is self-consistent.
+batch, drop_last) combination; test-pinned). Under drop_last=True this
+equals the default backend's global floor(n / global_batch) for every
+host count (floor(floor(n/H)/(G/H)) == floor(n/G)), so switching backends
+no longer shifts steps_per_epoch (it did when ShardedLoader padded
+per-host, DistributedSampler-style). drop_last=False still differs: grain
+drops the global remainder; ShardedLoader wrap-pads it to a full batch.
 
 Topology invariance: NOT provided by this backend — grain's ShardOptions
 interleave records per host, so an N-process run draws different (equally
