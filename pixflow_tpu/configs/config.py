@@ -203,16 +203,18 @@ class LinearConfig:
 
     @classmethod
     def from_dict(cls, d: dict) -> "LinearConfig":
-        # absent scalar keys fall through to the dataclass defaults (no
-        # duplicated literals to drift out of sync)
-        scalars = {k: d[k] for k in ("total_batch_size", "num_classes",
-                                     "eval_only") if k in d}
-        return cls(
-            data=DataConfig(**d.get("data", {})),
-            model=ModelConfig(**d.get("model", {})),
-            optim=OptimConfig(**d.get("optim", {})),
-            runtime=RuntimeConfig(**d.get("runtime", {})),
-            **scalars,
+        # absent keys fall through to THIS class's defaults — including the
+        # overridden section factories (sgd/base_lr=30/aug=NULL/...), which
+        # plain `OptimConfig(**d["optim"])` would silently discard for
+        # partial dicts
+        base = cls(**{k: d[k] for k in ("total_batch_size", "num_classes",
+                                        "eval_only") if k in d})
+        return dataclasses.replace(
+            base,
+            data=dataclasses.replace(base.data, **d.get("data", {})),
+            model=dataclasses.replace(base.model, **d.get("model", {})),
+            optim=dataclasses.replace(base.optim, **d.get("optim", {})),
+            runtime=dataclasses.replace(base.runtime, **d.get("runtime", {})),
         )
 
     @classmethod

@@ -142,8 +142,11 @@ class ShardedLoader:
         # slice `NamedSharding(mesh, P("data"))` places on host h's devices,
         # so every topology consumes the identical global batch sequence
         total = len(self) * self.global_batch_size
-        if total > n:  # wrap-around padding (drop_last=False only)
-            order = np.concatenate([order, order[: total - n]])
+        if total > n:  # wrap-around padding (drop_last=False only);
+            # np.resize TILES the order, so a pad larger than the dataset
+            # (n < G - n%G, e.g. 3 samples at global batch 8) still fills
+            # the full static batch instead of underfilling
+            order = np.resize(order, total)
         else:
             order = order[:total]
         if self.num_hosts == 1:

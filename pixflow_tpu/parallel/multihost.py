@@ -82,18 +82,16 @@ def host_sum(values: dict) -> dict:
     float32 when jax_enable_x64 is off (the default), which would round
     each host's partial sum to ~7 digits — enough to flip a cross-topology
     best_acc1 equality on large val sets. Each f64 value therefore travels
-    as a Dekker (hi, lo) float32 pair and is reconstructed in f64 on the
-    host before the final sum."""
+    BIT-EXACTLY as its two int32 halves (int32 is not canonicalized) and
+    is reinterpreted back to f64 on the host before the final sum."""
     if jax.process_count() == 1:
         return {k: float(v) for k, v in values.items()}
     from jax.experimental import multihost_utils
     keys = sorted(values)
     vec = np.asarray([float(values[k]) for k in keys], np.float64)
-    hi = vec.astype(np.float32)
-    lo = (vec - hi).astype(np.float32)
     gathered = np.asarray(multihost_utils.process_allgather(
-        np.concatenate([hi, lo]))).reshape(jax.process_count(), 2, len(keys))
-    per_host = gathered[:, 0].astype(np.float64) + gathered[:, 1].astype(
-        np.float64)
+        vec.view(np.int32)), dtype=np.int32)
+    per_host = gathered.reshape(jax.process_count(),
+                                2 * len(keys)).view(np.float64)
     summed = per_host.sum(axis=0)
     return dict(zip(keys, summed.tolist()))

@@ -501,8 +501,11 @@ def train(cfg: PretrainConfig):
             # fast-forwards the deterministic loader stream — no redone
             # steps, no skipped data, step counter exact. _save_ckpt is
             # collective under orbax: all ranks call it.
+            # `is not None` in BOTH predicates: preempt_idx == 0 (TERM
+            # caught before the epoch's first batch) must record resume
+            # info the same way as any other interrupted index
             extra = ({"resume_epoch": epoch, "resume_idx": preempt_idx}
-                     if preempt_idx else None)
+                     if preempt_idx is not None else None)
             # TERM after the epoch's last batch: the epoch IS complete
             done = epoch if preempt_idx is None else epoch - 1
             path = _save_ckpt(max(done, start_epoch - 1), state, extra)

@@ -41,6 +41,27 @@ def test_config_json_roundtrip():
     assert json.loads(cfg2.to_json())["model"]["pixpro_p"] == 2.0
 
 
+def test_linear_config_partial_dict_keeps_linear_defaults():
+    """LinearConfig.from_dict on a PARTIAL dict must fall back to the
+    LINEAR-stage section defaults (sgd, base_lr 30, NULL aug, reduce head,
+    reference `main_linear.py` hparams) — not the pretrain-stage base
+    dataclass defaults."""
+    from pixflow_tpu.configs import LinearConfig
+
+    cfg = LinearConfig.from_json('{"optim": {"epochs": 50}}')
+    assert cfg.optim.epochs == 50                 # the supplied override
+    assert cfg.optim.optimizer == "sgd"           # linear defaults kept
+    assert cfg.optim.base_lr == 30.0
+    assert cfg.optim.weight_decay == 0.0
+    assert cfg.optim.warmup_epoch == 0
+    assert cfg.data.aug == "NULL"
+    assert cfg.data.dataset == "ImageNet"
+    assert cfg.model.head_type == "reduce"
+    # full round-trip still exact
+    cfg2 = LinearConfig.from_json(cfg.to_json())
+    assert cfg2.to_json() == cfg.to_json()
+
+
 def _parse(argv):
     # import OUR main_pretrain explicitly by path: oracle fixtures put
     # /root/reference at sys.path[0], whose own main_pretrain.py (imports

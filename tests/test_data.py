@@ -237,6 +237,17 @@ def test_sharded_loader_ragged_topology_invariance(synth_root, num_hosts):
             glob = np.concatenate([p[bi][k] for p in parts2], axis=0)
             np.testing.assert_array_equal(glob, ref2[bi][k], err_msg=k)
 
+    # pad larger than the dataset (n=3 < G=8): the wrap tiles the order,
+    # still yielding one full static batch on every topology
+    tiny = VideoFrameDataset(samples=videos[:3], transform=t,
+                             n_frames=1, two_crop=True)
+    for hosts_n in (1, 2):
+        for h in range(hosts_n):
+            ld = ShardedLoader(tiny, 8, num_hosts=hosts_n, host_id=h,
+                               seed=3, num_threads=1, drop_last=False)
+            (batch,) = list(ld.epoch(0))
+            assert batch["im1"].shape[0] == 8 // hosts_n
+
 
 def test_process_workers_match_thread_workers(synth_root):
     """worker_mode='process' (forked decode workers) yields bit-identical
