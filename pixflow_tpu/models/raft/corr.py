@@ -135,6 +135,8 @@ def lookup_corr(pyramid: List[jnp.ndarray], coords: jnp.ndarray,
     tent-matmul lookup for real workloads; the gather path remains for tiny
     point counts (where matmul padding overhead dominates)."""
     n = coords.shape[0] * coords.shape[1] * coords.shape[2]
-    if n >= 256:
+    # symbolic batch (jax.export serving artifacts): `n >= 256` is
+    # inconclusive, and any real serving size wants the MXU path
+    if not isinstance(n, int) or n >= 256:
         return lookup_corr_mxu(pyramid, coords, radius)
     return lookup_corr_gather(pyramid, coords, radius)

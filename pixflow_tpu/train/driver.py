@@ -514,7 +514,7 @@ def train(cfg: PretrainConfig):
                             "step %d (resume %s); exiting cleanly",
                             path, int(state.step),
                             f"epoch {epoch} batch {preempt_idx}"
-                            if preempt_idx else f"epoch {epoch}")
+                            if preempt_idx is not None else f"epoch {epoch}")
             break
 
         if epoch % cfg.runtime.save_freq == 0 or epoch == max_epoch:
