@@ -88,7 +88,22 @@ void* fp_open(const char* path) {
   memcpy(&p->dtype, p->base + 20, 4);
   memcpy(&p->name_len, p->base + 24, 4);
 
-  const size_t entry_bytes = p->name_len + 8 + 4 + 4;
+  // header validation: every field comes straight from the file, so a
+  // truncated or corrupt pack must fail open() cleanly instead of walking
+  // an index that extends past the mapping (fuzz-pinned,
+  // tools/fuzz_native.py). All arithmetic in u64 to rule out wrap.
+  const uint64_t fsize = (uint64_t)p->size;
+  const uint64_t entry_bytes64 = (uint64_t)p->name_len + 8 + 4 + 4;
+  if (p->name_len == 0 || p->name_len > 4096 || p->dtype > 1 ||
+      p->h == 0 || p->w == 0 ||
+      (uint64_t)num_videos * entry_bytes64 > fsize - 32) {
+    munmap(mem, st.st_size);
+    ::close(fd);
+    delete p;
+    return nullptr;
+  }
+
+  const size_t entry_bytes = (size_t)entry_bytes64;
   const uint8_t* idx = p->base + 32;
   p->index.reserve(num_videos);
   for (uint32_t i = 0; i < num_videos; ++i) {
@@ -156,15 +171,22 @@ int64_t fp_read(void* handle, int32_t idx, int32_t start, int32_t count,
   auto* p = static_cast<Pack*>(handle);
   if (idx < 0 || idx >= (int32_t)p->index.size()) return -1;
   const IndexEntry& e = p->index[idx];
-  if (start < 0 || count < 0 || start + count > (int32_t)e.num_flows)
+  if (start < 0 || count < 0 ||
+      (int64_t)start + count > (int64_t)e.num_flows)
     return -2;
-  const size_t flow_elems = (size_t)p->h * p->w * 2;
-  const size_t esz = elem_size(p->dtype);
-  const uint8_t* src = p->data + e.offset + (size_t)start * flow_elems * esz;
-  const size_t bytes = (size_t)count * flow_elems * esz;
-  if (src + bytes > p->base + p->size) return -3;
-  memcpy(out, src, bytes);
-  return (int64_t)count * flow_elems;
+  const uint64_t flow_bytes =
+      (uint64_t)p->h * p->w * 2 * elem_size(p->dtype);
+  // e.offset is untrusted (straight from the file index): bound the whole
+  // [offset + start*flow, offset + (start+count)*flow) window against the
+  // data region with overflow-safe u64 arithmetic before touching memory
+  const uint64_t data_size = (uint64_t)(p->base + p->size - p->data);
+  const uint64_t begin = (uint64_t)start * flow_bytes;
+  const uint64_t bytes = (uint64_t)count * flow_bytes;
+  if (e.offset > data_size || begin > data_size - e.offset ||
+      bytes > data_size - e.offset - begin)
+    return -3;
+  memcpy(out, p->data + e.offset + begin, bytes);
+  return (int64_t)count * (uint64_t)p->h * p->w * 2;
 }
 
 }  // extern "C"

@@ -136,8 +136,9 @@ int decode_band(const unsigned char* buf, long len, int x, int y, int w,
   jpeg_mem_src(&cinfo, buf, (unsigned long)len);
   jpeg_read_header(&cinfo, TRUE);
 
-  if (x < 0 || y < 0 || x + w > (int)cinfo.image_width ||
-      y + h > (int)cinfo.image_height) {
+  // long arithmetic: x + w on hostile int32 boxes would signed-overflow
+  if (x < 0 || y < 0 || (long)x + w > (long)cinfo.image_width ||
+      (long)y + h > (long)cinfo.image_height) {
     jpeg_destroy_decompress(&cinfo);
     return 3;
   }
@@ -323,6 +324,11 @@ bool try_restart_splice(const unsigned char* buf, long len, int y, int w,
   if (!scan_header(b, n, &s)) return false;
   if (s.progressive || s.restart_interval <= 0 || s.width <= 0 ||
       s.height <= 0)
+    return false;
+  // hostile boxes: bound y/h against the scanned dims BEFORE any band
+  // arithmetic (JPEG dims are u16, so everything below then fits int);
+  // decode_band re-validates the full box for the plain path
+  if (y < 0 || h <= 0 || w <= 0 || (long)y + h > (long)s.height)
     return false;
   int mcus_per_row = (s.width + s.mcu_w - 1) / s.mcu_w;
   int rows_per_rst;
