@@ -12,7 +12,8 @@ import numpy as np
 
 from ..configs import LinearConfig
 from ..data import ShardedLoader, VideoFrameDataset, get_transform, list_image_folder
-from ..parallel import host_sum, make_data_mesh, make_global_batch, DATA_AXIS
+from ..parallel import (host_sum, make_data_mesh, make_global_batch,
+                        replicate_tree, DATA_AXIS)
 from ..train.schedule import make_lr_schedule
 from ..utils import (AverageMeter, latest_checkpoint, load_checkpoint,
                      save_checkpoint, setup_logger)
@@ -108,7 +109,6 @@ def linear_eval(cfg: LinearConfig, pretrained_path: str,
     if mesh is not None:
         # replicated global arrays on the mesh (required once the mesh
         # spans processes; a no-op device_put single-process)
-        from ..parallel import replicate_tree
         state = replicate_tree(state, mesh)
 
     def collate(batch):

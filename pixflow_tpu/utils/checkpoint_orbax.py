@@ -41,6 +41,20 @@ def save_checkpoint_orbax(output_dir: str, epoch: int, state,
 
     mgr = _manager(output_dir)
     step = int(state.step)
+    path = os.path.join(output_dir, ORBAX_DIR, str(step))
+    if step in (mgr.all_steps() or ()):
+        # Zero train steps since the last save (e.g. SIGTERM lands on the
+        # first preemption vote after a periodic epoch-end save, or a second
+        # SIGTERM after a step-exact resume before any new step). Orbax
+        # forbids re-saving an existing step (StepAlreadyExistsError even
+        # with force=True), and the existing checkpoint is equivalent: the
+        # state is byte-identical, and the resume position it implies —
+        # periodic save of epoch E resumes at (E+1, batch 0); preemption
+        # save re-records the same (resume_epoch, resume_idx) it voted at —
+        # matches what this save would record. Skip, keep the clean-exit
+        # path clean.
+        mgr.close()
+        return path
     meta = {"epoch": int(epoch), "config": config_json,
             "extra": json.dumps(extra or {})}
     mgr.save(step, args=ocp.args.Composite(
@@ -48,7 +62,7 @@ def save_checkpoint_orbax(output_dir: str, epoch: int, state,
         meta=ocp.args.JsonSave(meta)))
     mgr.wait_until_finished()
     mgr.close()
-    return os.path.join(output_dir, ORBAX_DIR, str(step))
+    return path
 
 
 def latest_checkpoint_orbax(output_dir: str) -> Optional[int]:

@@ -61,14 +61,47 @@ def _normalize_uint8(im):
     return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
 
+# Head modules a checkpoint may legitimately lack (e.g. exporting a
+# published encoder into a template that has an fc head). Everything else
+# in the template is trunk and MUST come from the checkpoint — otherwise
+# we'd silently export random-init weights.
+_HEAD_KEYS = frozenset({"fc", "fc1", "fc2", "bn2"})
+
+
 def _graft(template: dict, loaded: dict) -> dict:
     """Overlay checkpoint subtrees onto an init template (tolerates a
-    checkpoint that lacks heads the template has, e.g. fc)."""
+    checkpoint that lacks heads the template has, e.g. fc). Raises if any
+    trunk key of the template is missing from the checkpoint — a key-name
+    mismatch must fail the export, not trace random weights."""
+    missing = [k for k in template if k not in loaded and k not in _HEAD_KEYS]
+    if missing:
+        raise ValueError(
+            "checkpoint does not cover the model trunk — missing keys "
+            f"{sorted(missing)} (checkpoint has {sorted(loaded)}); pass the "
+            "encoder/probe subtree, not an outer container")
     out = dict(template)
     for k, v in loaded.items():
         if k in out:
             out[k] = jax.tree.map(jnp.asarray, v)
     return out
+
+
+def _export_resnet(model, params: dict, batch_stats: dict, image_size: int,
+                   platforms: Sequence[str], batch: Optional[int]) -> bytes:
+    """Shared backbone/classifier export: graft checkpoint trees onto the
+    init template, bake in uint8 -> ImageNet normalization, export."""
+    im = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    tmpl = model.init(jax.random.PRNGKey(0), im, False)
+    variables = {
+        "params": _graft(dict(tmpl["params"]), params),
+        "batch_stats": _graft(dict(tmpl.get("batch_stats", {})), batch_stats),
+    }
+
+    def fn(im_u8):
+        return model.apply(variables, _normalize_uint8(im_u8), False)
+
+    spec = _batch_spec((image_size, image_size, 3), jnp.uint8, batch)
+    return _export_fn(fn, (spec,), platforms)
 
 
 def export_backbone(arch: str, params: dict, batch_stats: dict,
@@ -80,18 +113,8 @@ def export_backbone(arch: str, params: dict, batch_stats: dict,
     (`utils/checkpoint.py:publish_checkpoint`)."""
     from ..models import make_resnet
     model = make_resnet(arch, head_type="early_return")
-    im = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
-    tmpl = model.init(jax.random.PRNGKey(0), im, False)
-    variables = {
-        "params": _graft(dict(tmpl["params"]), params),
-        "batch_stats": _graft(dict(tmpl.get("batch_stats", {})), batch_stats),
-    }
-
-    def fn(im_u8):
-        return model.apply(variables, _normalize_uint8(im_u8), False)
-
-    spec = _batch_spec((image_size, image_size, 3), jnp.uint8, batch)
-    return _export_fn(fn, (spec,), platforms)
+    return _export_resnet(model, params, batch_stats, image_size,
+                          platforms, batch)
 
 
 def export_classifier(arch: str, params: dict, batch_stats: dict,
@@ -102,18 +125,8 @@ def export_classifier(arch: str, params: dict, batch_stats: dict,
     probe TrainState's trees (trunk + fc, `eval/linear.py`)."""
     from ..models import make_resnet
     model = make_resnet(arch, head_type="reduce", low_dim=num_classes)
-    im = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
-    tmpl = model.init(jax.random.PRNGKey(0), im, False)
-    variables = {
-        "params": _graft(dict(tmpl["params"]), params),
-        "batch_stats": _graft(dict(tmpl.get("batch_stats", {})), batch_stats),
-    }
-
-    def fn(im_u8):
-        return model.apply(variables, _normalize_uint8(im_u8), False)
-
-    spec = _batch_spec((image_size, image_size, 3), jnp.uint8, batch)
-    return _export_fn(fn, (spec,), platforms)
+    return _export_resnet(model, params, batch_stats, image_size,
+                          platforms, batch)
 
 
 def export_raft(variables: dict, height: int, width: int,

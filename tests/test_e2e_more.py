@@ -336,6 +336,74 @@ def test_orbax_backend_through_driver(tmp_path):
     assert int(state2.step) == int(state1.step) + 1
 
 
+def test_orbax_preemption_save_at_existing_step(tmp_path):
+    """SIGTERM landing on the FIRST preemption vote after a resume (zero
+    train steps since the last orbax save) makes the preemption save target
+    a step that already has a checkpoint. Orbax forbids overwriting a step,
+    so the save must skip (the existing checkpoint implies the identical
+    resume position) and the clean-exit path must stay clean — previously
+    this raised StepAlreadyExistsError out of train()."""
+    import pytest as _pytest
+    _pytest.importorskip("orbax.checkpoint")
+    import signal
+    import threading
+    import time as _time
+
+    rng = np.random.default_rng(23)
+    root = tmp_path / "data"
+    for v in range(8):
+        vd = root / "train" / f"v{v:02d}"
+        vd.mkdir(parents=True)
+        Image.fromarray(rng.integers(0, 255, (48, 64, 3)).astype(
+            np.uint8)).save(vd / "f00.jpg")
+
+    from pixflow_tpu.train.driver import train
+    from pixflow_tpu.utils.checkpoint_orbax import latest_checkpoint_orbax
+    out = str(tmp_path / "out")
+    cfg = _tiny_cfg(str(root), out)
+    cfg.data.dataset = "bdd100k"
+    cfg.runtime.checkpoint_backend = "orbax"
+    state1 = train(cfg)  # completes epoch 1, periodic orbax save at step 1
+    step1 = int(state1.step)
+    assert latest_checkpoint_orbax(out) == step1
+
+    # resume with SIGTERM hammered from the start: the preemption vote at
+    # the resumed epoch's first batch fires with ZERO new steps taken, so
+    # the preemption save targets the already-saved step
+    prev = signal.signal(signal.SIGTERM, lambda *_: None)
+    stop = threading.Event()
+
+    def hammer():
+        while not stop.is_set():
+            signal.raise_signal(signal.SIGTERM)
+            _time.sleep(0.03)
+
+    t = threading.Thread(target=hammer, daemon=True)
+    t.start()
+    try:
+        cfg2 = _tiny_cfg(str(root), out)
+        cfg2.data.dataset = "bdd100k"
+        cfg2.runtime.checkpoint_backend = "orbax"
+        cfg2.runtime.auto_resume = True
+        cfg2.optim.epochs = 500
+        state2 = train(cfg2)  # must RETURN cleanly, not raise
+    finally:
+        stop.set()
+        t.join(timeout=5)
+        signal.signal(signal.SIGTERM, prev)
+    assert int(state2.step) >= step1
+    assert latest_checkpoint_orbax(out) is not None
+
+    # step-exact continuation still holds after the skipped save
+    cfg3 = _tiny_cfg(str(root), out)
+    cfg3.data.dataset = "bdd100k"
+    cfg3.runtime.checkpoint_backend = "orbax"
+    cfg3.runtime.auto_resume = True
+    cfg3.optim.epochs = 2
+    state3 = train(cfg3)
+    assert int(state3.step) == 2  # 2 epochs x 1 step/epoch, nothing redone
+
+
 def test_orbax_explicit_resume_and_backend_migration(tmp_path):
     """Round-3 review fixes: (a) an EXPLICIT --resume pointing at an orbax
     run dir (or its orbax/ subdir) loads via orbax instead of crashing in

@@ -89,6 +89,20 @@ def test_classifier_roundtrip():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_backbone_export_rejects_uncovered_trunk(backbone_setup):
+    """A checkpoint tree that does not cover the model trunk (e.g. an outer
+    container like the whole PixPro params passed where the encoder subtree
+    belongs) must FAIL the export — not silently trace random-init weights
+    into the artifact."""
+    from pixflow_tpu.utils.export_hlo import export_backbone
+    _, variables = backbone_setup
+    wrong = {"encoder": dict(variables["params"])}  # outer container
+    with pytest.raises(ValueError, match="trunk"):
+        export_backbone("resnet18", wrong,
+                        dict(variables.get("batch_stats", {})),
+                        image_size=32, platforms=("cpu",))
+
+
 def test_raft_roundtrip_with_padding():
     """Frame size NOT divisible by 8: the baked-in InputPadder must pad and
     un-pad exactly like eval does (eval/flow_eval.py pattern)."""

@@ -290,3 +290,33 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert int(got.step) == 7 and int(got.ema_k) == 5
     np.testing.assert_array_equal(np.asarray(got.params["w"]),
                                   np.arange(6.0).reshape(2, 3))
+
+
+def test_orbax_save_same_step_twice_is_noop(tmp_path):
+    """A preemption save can target a step that already has a checkpoint
+    (SIGTERM on the first vote after a periodic save: zero train steps in
+    between). Orbax forbids overwriting a step, so the save must SKIP — the
+    existing checkpoint implies the identical resume position — instead of
+    raising StepAlreadyExistsError out of the clean-exit path."""
+    pytest.importorskip("orbax.checkpoint")
+    import jax.numpy as jnp
+    from pixflow_tpu.train.state import TrainState
+    from pixflow_tpu.utils.checkpoint_orbax import (
+        load_checkpoint_orbax, save_checkpoint_orbax)
+
+    state = TrainState(
+        step=jnp.asarray(4, jnp.int32), ema_k=jnp.asarray(4, jnp.int32),
+        params={"w": jnp.ones((2,))}, batch_stats={},
+        opt_state={})
+    out = str(tmp_path / "run")
+    p1 = save_checkpoint_orbax(out, epoch=2, state=state, config_json="{}")
+    # second save at the SAME step (what the preemption path does): no
+    # raise, same path, first save's metadata preserved
+    p2 = save_checkpoint_orbax(out, epoch=3, state=state, config_json="{}",
+                               extra={"resume_epoch": 3, "resume_idx": 0})
+    assert p1 == p2
+    template = state.replace(step=jnp.zeros([], jnp.int32),
+                             ema_k=jnp.zeros([], jnp.int32),
+                             params={"w": jnp.zeros((2,))})
+    got, epoch, extra = load_checkpoint_orbax(out, template)
+    assert int(got.step) == 4 and epoch == 2 and extra == {}
