@@ -40,9 +40,13 @@ def parse_args():
     p.add_argument("--lr", type=float, default=4e-4)
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--clip-norm", type=float, default=1.0)
-    p.add_argument("--restore", default="", help="warm-start checkpoint "
+    p.add_argument("--restore", default="", help="warm-start PARAMS "
                    "(.msgpack from this trainer or a torch .pth via the "
-                   "importer)")
+                   "importer); optimizer/schedule start fresh")
+    p.add_argument("--resume", default="", help="resume a fine-tune from a "
+                   "full train-state checkpoint (raft_state.msgpack: params "
+                   "+ optimizer moments + step); 'auto' picks it up from "
+                   "--output-dir")
     p.add_argument("--output-dir", default="./output/raft")
     p.add_argument("--print-freq", type=int, default=100)
     p.add_argument("--save-freq", type=int, default=5000)
@@ -117,17 +121,48 @@ def main():
     step_fn = make_raft_train_step(model, tx, iters=a.iters, gamma=a.gamma,
                                    mesh=mesh)
 
+    # full-state resume (params + optimizer moments + step): a warm restart
+    # of a long fine-tune must NOT re-warm-up from lr/25 with fresh Adam
+    # moments — that is a materially different trajectory
+    state_path = os.path.join(a.output_dir, "raft_state.msgpack")
+    start_step = 0
+    resume = state_path if a.resume == "auto" else a.resume
+    if resume and os.path.exists(resume):
+        with open(resume, "rb") as f:
+            payload = serialization.from_bytes(
+                {"params": state[0], "opt_state": state[1],
+                 "step": state[2]}, f.read())
+        state = (payload["params"], payload["opt_state"], payload["step"])
+        start_step = int(payload["step"])
+        print(f"resumed full train state from {resume} at step {start_step}")
+    elif a.resume and a.resume != "auto":
+        raise FileNotFoundError(a.resume)
+
+    def save_state(state_now):
+        tmp = state_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(
+                {"params": state_now[0], "opt_state": state_now[1],
+                 "step": state_now[2]}))
+        os.replace(tmp, state_path)
+
     def sample_batch(step):
         idx = rng.integers(0, len(dataset), a.batch_size)
-        out = {"img1": [], "img2": [], "flow": [], "valid": []}
-        for j, i in enumerate(idx):
-            r = random.Random(a.seed * 9973 + step * 131 + j)
-            i1, i2, fl, va = dataset.__getitem__(int(i), r)
-            out["img1"].append(i1)
-            out["img2"].append(i2)
-            out["flow"].append(fl)
-            out["valid"].append(va)
-        return {k: np.stack(v).astype(np.float32) for k, v in out.items()}
+
+        def build(ji):
+            j, i = ji
+            # collision-free per-(step, sample) seed: (step-1)*batch + j is
+            # unique, unlike the old step*131 + j mix which repeated draws
+            # whenever batch_size > 131
+            r = random.Random(a.seed * 1_000_003
+                              + (step - 1) * a.batch_size + j)
+            return dataset.__getitem__(int(i), r)
+
+        items = (list(sample_pool.map(build, enumerate(idx)))
+                 if sample_pool is not None
+                 else [build(ji) for ji in enumerate(idx)])
+        return {k: np.stack([s[n] for s in items]).astype(np.float32)
+                for n, k in enumerate(("img1", "img2", "flow", "valid"))}
 
     def run_validation(params_now, step):
         if not a.validate:
@@ -155,27 +190,54 @@ def main():
         print(f"wrote {a.submit} submission to {out}")
         return
 
-    metrics_path = os.path.join(a.output_dir, "raft_metrics.jsonl")
     if a.num_steps <= 0:  # validation-only mode
         run_validation(state[0], 0)
         return
+
+    from concurrent.futures import ThreadPoolExecutor
+    from pixflow_tpu.utils.metrics_writer import MetricsWriter
+    writer = MetricsWriter(a.output_dir, filename="raft_metrics.jsonl")
+    sample_pool = (ThreadPoolExecutor(a.num_workers)
+                   if a.num_workers > 1 else None)
+    # one-batch lookahead on a single thread: host assembly overlaps the
+    # device step, and the rng index stream stays sequential (submission
+    # order) — on resume, fast-forward the stream past the consumed draws
+    for _ in range(start_step):
+        rng.integers(0, len(dataset), a.batch_size)
+    prefetch = ThreadPoolExecutor(1)
+    fut = prefetch.submit(sample_batch, start_step + 1)
     t0 = time.time()
-    for step in range(1, a.num_steps + 1):
-        state, metrics = step_fn(state, sample_batch(step))
-        if step % a.print_freq == 0 or step == 1:
-            m = {k: float(v) for k, v in metrics.items()}
-            m.update(step=step, lr=float(schedule(step)),
-                     sec_per_step=(time.time() - t0) / step)
-            print("step {step}: loss {loss:.4f} epe {epe:.3f} "
-                  "1px {1px:.3f} 3px {3px:.3f} 5px {5px:.3f}".format(**m))
-            with open(metrics_path, "a") as f:
-                f.write(json.dumps(m) + "\n")
-        if step % a.save_freq == 0 or step == a.num_steps:
-            path = os.path.join(a.output_dir, f"raft_{a.stage}_{step}.msgpack")
-            with open(path, "wb") as f:
-                f.write(serialization.to_bytes(state[0]))
-            print(f"saved {path}")
-            run_validation(state[0], step)
+    try:
+        for step in range(start_step + 1, a.num_steps + 1):
+            batch = fut.result()
+            if step < a.num_steps:
+                fut = prefetch.submit(sample_batch, step + 1)
+            state, metrics = step_fn(state, batch)
+            if step % a.print_freq == 0 or step == start_step + 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                # the update just taken consumed schedule(step-1): optax's
+                # scale_by_schedule evaluates at the pre-increment count
+                m.update(lr=float(schedule(step - 1)),
+                         sec_per_step=(time.time() - t0)
+                         / (step - start_step))
+                print(("step {step}: loss {loss:.4f} epe {epe:.3f} "
+                       "1px {1px:.3f} 3px {3px:.3f} 5px {5px:.3f}")
+                      .format(step=step, **m))
+                writer.write(step, m)
+            if step % a.save_freq == 0 or step == a.num_steps:
+                path = os.path.join(a.output_dir,
+                                    f"raft_{a.stage}_{step}.msgpack")
+                with open(path, "wb") as f:
+                    f.write(serialization.to_bytes(
+                        jax.device_get(state[0])))
+                save_state(jax.device_get(state))
+                print(f"saved {path} (+ resumable {state_path})")
+                run_validation(state[0], step)
+    finally:
+        prefetch.shutdown(wait=False)
+        if sample_pool is not None:
+            sample_pool.shutdown(wait=False)
+        writer.close()
 
 
 if __name__ == "__main__":

@@ -165,10 +165,43 @@ def sintel(root: str, split: str = "training", dstype: str = "clean",
     return FlowDataset(pairs, flows, augmentor)
 
 
-def flying_chairs(root: str, augmentor: Optional[FlowAugmentor] = None) -> FlowDataset:
+def _chairs_split_labels(root: str):
+    """chairs_split.txt (the file the original RAFT repo ships; 1 = train,
+    2 = validation — reference `contrast/flow/datasets.py:135-141`),
+    searched next to the data, at the root's parent, and in the CWD."""
+    for d in (root, os.path.dirname(os.path.abspath(root)), os.getcwd()):
+        p = os.path.join(d, "chairs_split.txt")
+        if os.path.isfile(p):
+            return np.loadtxt(p, dtype=np.int32)
+    return None
+
+
+def flying_chairs(root: str, augmentor: Optional[FlowAugmentor] = None,
+                  split: str = "all") -> FlowDataset:
+    """split: 'all' | 'training' | 'validation'. The train/val split needs
+    chairs_split.txt (see _chairs_split_labels); without it a non-'all'
+    split falls back to every pair with a loud warning — validation numbers
+    measured that way include trained-on pairs and are not comparable to the
+    original evaluate.py."""
     images = sorted(glob(os.path.join(root, "data", "*.ppm")))
     flows = sorted(glob(os.path.join(root, "data", "*.flo")))
     pairs = [(images[2 * i], images[2 * i + 1]) for i in range(len(flows))]
+    if split != "all":
+        assert split in ("training", "validation"), split
+        labels = _chairs_split_labels(root)
+        if labels is None:
+            import warnings
+            warnings.warn(
+                f"chairs_split.txt not found near {root!r}; using ALL "
+                f"{len(flows)} FlyingChairs pairs for split={split!r} — "
+                "validation will include training pairs")
+        else:
+            assert len(labels) >= len(flows), \
+                f"chairs_split.txt has {len(labels)} rows < {len(flows)} pairs"
+            want = 1 if split == "training" else 2
+            keep = [i for i in range(len(flows)) if labels[i] == want]
+            pairs = [pairs[i] for i in keep]
+            flows = [flows[i] for i in keep]
     return FlowDataset(pairs, flows, augmentor)
 
 
@@ -218,7 +251,8 @@ def fetch_stage_dataset(stage: str, roots: dict,
     aug = FlowAugmentor(crop_size)
     if stage == "chairs":
         return flying_chairs(roots["chairs"],
-                             FlowAugmentor(crop_size, -0.1, 1.0))
+                             FlowAugmentor(crop_size, -0.1, 1.0),
+                             split="training")
     if stage == "things":
         return flying_things(roots["things"],
                              augmentor=FlowAugmentor(crop_size, -0.4, 0.8))

@@ -17,7 +17,10 @@ def validate_dataset(model, variables, dataset, iters: int = 24,
                      mode: str = "sintel", sparse: bool = False,
                      max_samples: Optional[int] = None) -> Dict[str, float]:
     """EPE metrics over a FlowDataset (no augmentor). For sparse datasets
-    (KITTI-style valid masks) also reports Fl-all."""
+    (KITTI-style valid masks) also reports Fl-all, and `epe` follows the
+    original evaluate.py's KITTI convention — the mean of per-IMAGE mean
+    EPEs (images weigh equally regardless of valid-pixel count) — while the
+    px rates and Fl-all stay pixel-pooled, again like the original."""
     import jax
     import jax.numpy as jnp
     from ..models.raft.utils import InputPadder
@@ -32,9 +35,13 @@ def validate_dataset(model, variables, dataset, iters: int = 24,
                             jnp.asarray(img2[None], jnp.float32))
         return np.asarray(padder.unpad(flow_fn(i1, i2)[0]))
 
-    epes, fls = [], []
+    epes, fls, img_means = [], [], []
     n = len(dataset) if max_samples is None else min(len(dataset),
                                                      max_samples)
+    if n == 0:
+        raise ValueError(
+            "validation dataset is empty (wrong --*-root, or the split has "
+            "no samples) — refusing to report vacuous metrics")
     for i in range(n):
         img1, img2, flow_gt, valid = dataset.__getitem__(i)
         flow = pair_flow(img1, img2)
@@ -47,11 +54,16 @@ def validate_dataset(model, variables, dataset, iters: int = 24,
             fls.append(((epe_v > 3.0) & (epe_v / mag_v > 0.05)).astype(
                 np.float64))
             epes.append(epe_v)
+            if epe_v.size:  # per-image mean: the original KITTI convention
+                img_means.append(float(epe_v.mean()))
         else:
             epes.append(epe_map[v].ravel())
     all_epe = np.concatenate(epes) if epes else np.zeros(1)
     out = {
-        "epe": float(np.mean(all_epe)),
+        # dense: pixel-pooled over the whole split; sparse (KITTI): mean of
+        # per-image means — both per the original evaluate.py
+        "epe": float(np.mean(img_means) if sparse and img_means
+                     else np.mean(all_epe)),
         "1px": float(np.mean(all_epe < 1.0)),
         "3px": float(np.mean(all_epe < 3.0)),
         "5px": float(np.mean(all_epe < 5.0)),
@@ -151,7 +163,10 @@ def validate_stage(model, variables, stage: str, roots: dict,
     from ..data.raft_datasets import flying_chairs, kitti, sintel
 
     if stage == "chairs":
-        ds = flying_chairs(roots["chairs"])
+        # held-out split (chairs_split.txt, labels == 2) like the original
+        # evaluate.validate_chairs; falls back to all pairs with a warning
+        # when the split file is absent
+        ds = flying_chairs(roots["chairs"], split="validation")
         return validate_dataset(model, variables, ds, iters or 24,
                                 mode="sintel", max_samples=max_samples)
     if stage == "sintel":

@@ -13,9 +13,9 @@ import os
 
 class MetricsWriter:
     def __init__(self, output_dir: str, use_tensorboard: bool = True,
-                 wandb_run=None):
+                 wandb_run=None, filename: str = "metrics.jsonl"):
         os.makedirs(output_dir, exist_ok=True)
-        self._jsonl = open(os.path.join(output_dir, "metrics.jsonl"), "a",
+        self._jsonl = open(os.path.join(output_dir, filename), "a",
                            buffering=1)
         self._wandb = wandb_run
         self._tb = None

@@ -415,13 +415,32 @@ def test_main_raft_cli_smoke(tmp_path):
          "--crop-size", "32", "64", "--batch-size", "2", "--num-steps", "2",
          "--lr", "1e-4", "--print-freq", "1", "--save-freq", "2",
          "--output-dir", str(out)],
-        capture_output=True, text=True, timeout=3000,
+        capture_output=True, text=True, timeout=3000, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, r.stderr[-2000:]
     lines = open(out / "raft_metrics.jsonl").read().splitlines()
     rec = json.loads(lines[-1])
     assert np.isfinite(rec["loss"]) and np.isfinite(rec["epe"])
     assert (out / "raft_chairs_2.msgpack").exists()
+    assert (out / "raft_state.msgpack").exists()  # resumable full state
+
+    # resume the full train state (params + Adam moments + step) and run
+    # two more steps: continues at step 3, not a re-warm-up from step 1
+    r2 = subprocess.run(
+        [sys.executable, "main_raft.py", "--stage", "chairs",
+         "--chairs-root", str(root), "--small", "--iters", "2",
+         "--crop-size", "32", "64", "--batch-size", "2", "--num-steps", "4",
+         "--lr", "1e-4", "--print-freq", "1", "--save-freq", "4",
+         "--resume", "auto", "--output-dir", str(out)],
+        capture_output=True, text=True, timeout=3000,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed full train state" in r2.stdout
+    steps = [json.loads(l)["step"]
+             for l in open(out / "raft_metrics.jsonl").read().splitlines()]
+    assert steps[-2:] == [3, 4]  # no redone steps
+    assert (out / "raft_chairs_4.msgpack").exists()
 
 
 def test_validate_dataset_metrics_math():
@@ -460,6 +479,51 @@ def test_validate_dataset_metrics_math():
                          sparse=True)
     np.testing.assert_allclose(m["epe"], 5.0, rtol=1e-6)
     np.testing.assert_allclose(m["fl_all"], 100.0, rtol=1e-6)
+
+
+def test_validate_dataset_empty_raises():
+    """An empty/missing validation set must raise — not report a vacuous
+    epe 0.0 / 1px 1.0 'perfect' score."""
+    from pixflow_tpu.eval.flow_eval import validate_dataset
+
+    class Empty:
+        def __len__(self):
+            return 0
+
+    with pytest.raises(ValueError, match="empty"):
+        validate_dataset(object(), {}, Empty(), iters=1)
+
+
+def test_validate_dataset_sparse_epe_is_mean_of_image_means():
+    """KITTI convention (original validate_kitti): epe is the mean of
+    per-image mean EPEs — an image with few valid pixels weighs the same as
+    a dense one; px rates stay pixel-pooled."""
+    from pixflow_tpu.eval.flow_eval import validate_dataset
+
+    class StubModel:
+        def apply(self, variables, i1, i2, iters=0):
+            z = jnp.zeros(i1.shape[:3] + (2,), jnp.float32)
+            return z, z
+
+    class TwoImages:
+        def __len__(self):
+            return 2
+        def __getitem__(self, i):
+            img = np.zeros((16, 24, 3), np.float32)
+            flow = np.zeros((16, 24, 2), np.float32)
+            valid = np.zeros((16, 24), np.float32)
+            if i == 0:                      # 1 valid pixel, epe 10
+                flow[0, 0, 0] = 10.0
+                valid[0, 0] = 1.0
+            else:                           # all 384 pixels valid, epe 1
+                flow[..., 0] = 1.0
+                valid[:] = 1.0
+            return img, img, flow, valid
+
+    m = validate_dataset(StubModel(), {}, TwoImages(), iters=1, sparse=True)
+    np.testing.assert_allclose(m["epe"], (10.0 + 1.0) / 2, rtol=1e-6)
+    # pixel-pooled 3px rate: 384 of 385 valid pixels are under 3px
+    np.testing.assert_allclose(m["3px"], 384.0 / 385.0, rtol=1e-6)
 
 
 def test_validate_dataset_real_raft_padding():

@@ -36,6 +36,26 @@ def test_flying_chairs_listing_and_sample(chairs_root):
     assert valid.shape == (96, 128)
 
 
+def test_flying_chairs_split_file(chairs_root):
+    """chairs_split.txt (original RAFT convention: 1=train, 2=val) filters
+    the pairs; a requested split without the file falls back to all pairs
+    with a warning (not silently — validation on trained pairs is not
+    comparable to the original evaluate.py)."""
+    split_path = os.path.join(chairs_root, "chairs_split.txt")
+    with open(split_path, "w") as f:
+        f.write("1\n2\n1\n")
+    try:
+        assert len(flying_chairs(chairs_root, split="training")) == 2
+        val = flying_chairs(chairs_root, split="validation")
+        assert len(val) == 1
+        assert "00001" in os.path.basename(val.image_pairs[0][0])
+        assert len(flying_chairs(chairs_root)) == 3  # 'all' ignores the file
+    finally:
+        os.remove(split_path)
+    with pytest.warns(UserWarning, match="chairs_split.txt not found"):
+        assert len(flying_chairs(chairs_root, split="validation")) == 3
+
+
 def test_augmentor_crops_and_scales(chairs_root):
     ds = flying_chairs(chairs_root, FlowAugmentor((64, 64)))
     img1, img2, flow, valid = ds.__getitem__(1, random.Random(1))

@@ -85,26 +85,34 @@ def main():
         if os.path.exists(out_f) and os.path.exists(out_b):
             continue
 
+        # keep the video uint8; cast each chunk at dispatch (a 1000-frame
+        # 720p video is 2.7 GB as uint8 — a whole-video float32 copy would
+        # quadruple that before any flow is computed)
         frames = np.stack([np.asarray(Image.open(p).convert("RGB"), np.uint8)
-                           for p, _ in video]).astype(np.float32)
+                           for p, _ in video])
         n = len(frames)
         fwd, bwd = [], []
         for s in range(0, n - 1, a.batch):
             e = min(s + a.batch, n - 1)
-            f = flow_pairs(jnp.asarray(frames[s:e]), jnp.asarray(frames[s + 1:e + 1]))
-            b = flow_pairs(jnp.asarray(frames[s + 1:e + 1]), jnp.asarray(frames[s:e]))
-            fwd.append(np.asarray(f))
-            bwd.append(np.asarray(b))
+            im_a = jnp.asarray(frames[s:e], jnp.float32)
+            im_b = jnp.asarray(frames[s + 1:e + 1], jnp.float32)
+            fwd.append(np.asarray(flow_pairs(im_a, im_b)))
+            bwd.append(np.asarray(flow_pairs(im_b, im_a)))
         fwd = np.concatenate(fwd)          # [n-1, h, w, 2]
         bwd = np.concatenate(bwd)[::-1]    # reference order: last pair first
 
-        if a.format == "npy":
-            np.save(out_f, fwd)
-            np.save(out_b, bwd)
-        else:
-            import torch
-            torch.save(torch.from_numpy(fwd.transpose(0, 3, 1, 2).copy()), out_f)
-            torch.save(torch.from_numpy(bwd.transpose(0, 3, 1, 2).copy()), out_b)
+        # write-to-temp + rename: the skip-if-exists resume above must never
+        # see a truncated file from a killed worker as "done"
+        for path, arr in ((out_f, fwd), (out_b, bwd)):
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as fh:
+                if a.format == "npy":
+                    np.save(fh, arr)
+                else:
+                    import torch
+                    torch.save(torch.from_numpy(
+                        arr.transpose(0, 3, 1, 2).copy()), fh)
+            os.replace(tmp, path)
         print(f"[{vi}/{len(videos)}] {name}: {fwd.shape}")
 
 
