@@ -44,7 +44,12 @@ def save_checkpoint(output_dir: str, epoch: int, state, config_json: str = "",
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)
-    shutil.copyfile(path, os.path.join(output_dir, "current.msgpack"))
+    # current.msgpack must also land atomically: auto-resume prefers it, so a
+    # preemption mid-copy would otherwise leave a truncated file that breaks
+    # the next launch instead of falling back to the epoch files.
+    cur = os.path.join(output_dir, "current.msgpack")
+    shutil.copyfile(path, cur + ".tmp")
+    os.replace(cur + ".tmp", cur)
     return path
 
 

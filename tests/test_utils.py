@@ -36,6 +36,11 @@ def test_checkpoint_roundtrip(tmp_path):
                            extra={"note": "x"})
     assert os.path.basename(path) == "ckpt_epoch_3.msgpack"
     assert latest_checkpoint(str(tmp_path)).endswith("current.msgpack")
+    # both files land via rename — no .tmp residue, current is complete
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+    st_cur, epoch_cur, _ = load_checkpoint(latest_checkpoint(str(tmp_path)),
+                                           _state())
+    assert epoch_cur == 3 and int(st_cur.step) == 7
 
     st2, epoch, extra = load_checkpoint(path, _state())
     assert epoch == 3 and extra["note"] == "x"
