@@ -205,7 +205,11 @@ def main():
     for _ in range(start_step):
         rng.integers(0, len(dataset), a.batch_size)
     prefetch = ThreadPoolExecutor(1)
-    fut = prefetch.submit(sample_batch, start_step + 1)
+    # a resumed run already at num_steps has nothing to assemble: an
+    # unconditional submit would build one never-awaited batch past the end
+    # (and silently swallow any exception it raised)
+    fut = (prefetch.submit(sample_batch, start_step + 1)
+           if start_step < a.num_steps else None)
     t0 = time.time()
     try:
         for step in range(start_step + 1, a.num_steps + 1):

@@ -91,11 +91,15 @@ void* fp_open(const char* path) {
   // header validation: every field comes straight from the file, so a
   // truncated or corrupt pack must fail open() cleanly instead of walking
   // an index that extends past the mapping (fuzz-pinned,
-  // tools/fuzz_native.py). All arithmetic in u64 to rule out wrap.
+  // tools/fuzz_native.py). All arithmetic in u64 to rule out wrap; the
+  // 65536 dimension cap bounds flow_bytes <= 2^35, which (with the
+  // per-entry region check below) makes every product in fp_read provably
+  // wrap-free and stops a corrupt header from driving the Python binding
+  // into multi-GB host allocations.
   const uint64_t fsize = (uint64_t)p->size;
   const uint64_t entry_bytes64 = (uint64_t)p->name_len + 8 + 4 + 4;
   if (p->name_len == 0 || p->name_len > 4096 || p->dtype > 1 ||
-      p->h == 0 || p->w == 0 ||
+      p->h == 0 || p->w == 0 || p->h > 65536 || p->w > 65536 ||
       (uint64_t)num_videos * entry_bytes64 > fsize - 32) {
     munmap(mem, st.st_size);
     ::close(fd);
@@ -105,6 +109,8 @@ void* fp_open(const char* path) {
 
   const size_t entry_bytes = (size_t)entry_bytes64;
   const uint8_t* idx = p->base + 32;
+  const uint64_t data_size = fsize - 32 - (uint64_t)num_videos * entry_bytes64;
+  const uint64_t flow_bytes = (uint64_t)p->h * p->w * 2 * elem_size(p->dtype);
   p->index.reserve(num_videos);
   for (uint32_t i = 0; i < num_videos; ++i) {
     const uint8_t* e = idx + i * entry_bytes;
@@ -113,6 +119,17 @@ void* fp_open(const char* path) {
                       strnlen(reinterpret_cast<const char*>(e), p->name_len));
     memcpy(&entry.offset, e + p->name_len, 8);
     memcpy(&entry.num_flows, e + p->name_len + 8, 4);
+    // the whole video [offset, offset + num_flows*flow_bytes) must lie in
+    // the data region: no read through a valid handle can then exceed the
+    // mapping, and num_flows*flow_bytes <= data_size < 2^63 caps every
+    // later count*flow_bytes product
+    if (entry.offset > data_size ||
+        (uint64_t)entry.num_flows > (data_size - entry.offset) / flow_bytes) {
+      munmap(mem, st.st_size);
+      ::close(fd);
+      delete p;
+      return nullptr;
+    }
     p->index.push_back(std::move(entry));
   }
   p->data = idx + num_videos * entry_bytes;

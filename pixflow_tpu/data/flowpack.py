@@ -141,6 +141,11 @@ class FlowPackReader:
                else name_or_idx)
         if idx < 0:
             raise KeyError(f"video '{name_or_idx}' not in pack")
+        # bound the window BEFORE allocating: np.empty sized from untrusted
+        # header/count values must never outrun the (open-validated) video
+        if count < 0 or start < 0 or start + count > self.num_flows(idx):
+            raise IndexError(f"flow window {name_or_idx}[{start}:"
+                             f"{start + count}] out of range")
         out = np.empty((count, self.h, self.w, 2), self.dtype)
         got = self._lib.fp_read(self._h, idx, start, count,
                                 out.ctypes.data_as(ctypes.c_void_p))

@@ -160,8 +160,8 @@ def sintel(root: str, split: str = "training", dstype: str = "clean",
         for a, b in zip(frames[:-1], frames[1:]):
             pairs.append((a, b))
             flows.append(os.path.join(flow_root, scene,
-                                      os.path.basename(a).replace(".png", ".flo")
-                                      .replace("frame_", "frame_")))
+                                      os.path.basename(a).replace(".png",
+                                                                  ".flo")))
     return FlowDataset(pairs, flows, augmentor)
 
 
@@ -248,7 +248,6 @@ def fetch_stage_dataset(stage: str, roots: dict,
                         crop_size: Tuple[int, int] = (368, 768)) -> FlowDataset:
     """The standard RAFT training curriculum mixes (capability of reference
     `datasets.py:212-255` fetch_dataloader)."""
-    aug = FlowAugmentor(crop_size)
     if stage == "chairs":
         return flying_chairs(roots["chairs"],
                              FlowAugmentor(crop_size, -0.1, 1.0),

@@ -24,6 +24,15 @@ from typing import Optional, Tuple
 ORBAX_DIR = "orbax"
 
 
+def _resume_position(epoch: int, extra: dict) -> Tuple[int, int]:
+    """(epoch, batch) a checkpoint's metadata resumes at: a step-exact
+    preemption save records (resume_epoch, resume_idx); a periodic save of
+    epoch E resumes at (E+1, 0)."""
+    if extra.get("resume_idx") is not None:
+        return (int(extra["resume_epoch"]), int(extra["resume_idx"]))
+    return (epoch + 1, 0)
+
+
 def _manager(output_dir: str, create: bool = True):
     import orbax.checkpoint as ocp
 
@@ -51,9 +60,22 @@ def save_checkpoint_orbax(output_dir: str, epoch: int, state,
         # state is byte-identical, and the resume position it implies —
         # periodic save of epoch E resumes at (E+1, batch 0); preemption
         # save re-records the same (resume_epoch, resume_idx) it voted at —
-        # matches what this save would record. Skip, keep the clean-exit
-        # path clean.
+        # matches what this save would record. That equivalence is
+        # load-bearing (resume would otherwise use stale metadata), so
+        # CHECK it instead of assuming: the existing step's meta must imply
+        # the same resume position this save would record.
+        old = mgr.restore(step, args=ocp.args.Composite(
+            meta=ocp.args.JsonRestore()))["meta"]
+        old_pos = _resume_position(int(old["epoch"]),
+                                   json.loads(old.get("extra", "{}")))
+        new_pos = _resume_position(int(epoch), extra or {})
         mgr.close()
+        if old_pos != new_pos:
+            raise RuntimeError(
+                f"orbax step {step} already saved with resume position "
+                f"{old_pos}, but this save implies {new_pos} — a path "
+                "advanced epoch/extra with zero train steps; refusing to "
+                "silently keep the stale metadata")
         return path
     meta = {"epoch": int(epoch), "config": config_json,
             "extra": json.dumps(extra or {})}

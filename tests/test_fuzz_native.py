@@ -56,10 +56,11 @@ def test_flowpack_zero_name_len_rejected(tmp_path):
         FlowPackReader(bad)
 
 
-def test_flowpack_stomped_offset_read_fails_cleanly(tmp_path):
-    """An index offset pointing past the data region must fail the READ
-    (not the open — the header itself is fine), without touching memory
-    out of bounds."""
+def test_flowpack_stomped_offset_rejected_at_open(tmp_path):
+    """An index offset pointing past the data region must fail the OPEN:
+    fp_open validates every entry's [offset, offset + num_flows*flow_bytes)
+    window against the data region, so a corrupt index can never reach a
+    read (which also makes fp_read's u64 arithmetic provably wrap-free)."""
     from pixflow_tpu.data.flowpack import FlowPackReader
     import pytest
 
@@ -70,12 +71,40 @@ def test_flowpack_stomped_offset_read_fails_cleanly(tmp_path):
     bad = str(tmp_path / "off.fpk")
     with open(bad, "wb") as f:
         f.write(bytes(data))
-    r = FlowPackReader(bad)
+    with pytest.raises(FileNotFoundError):
+        FlowPackReader(bad)
+
+
+def test_flowpack_huge_dims_rejected_at_open(tmp_path):
+    """A well-formed header advertising giant h*w must fail the open (the
+    65536 dimension cap): the Python binding would otherwise np.empty a
+    multi-GB buffer before the first read bound check."""
+    from pixflow_tpu.data.flowpack import FlowPackReader
+    import pytest
+
+    p = _write_pack(tmp_path)
+    data = bytearray(open(p, "rb").read())
+    data[12:16] = (1 << 20).to_bytes(4, "little")  # h = 1M
+    bad = str(tmp_path / "hugedims.fpk")
+    with open(bad, "wb") as f:
+        f.write(bytes(data))
+    with pytest.raises(FileNotFoundError):
+        FlowPackReader(bad)
+
+
+def test_flowpack_oversized_window_rejected_before_alloc(tmp_path):
+    """read() must bound the requested window against the video BEFORE
+    allocating the output buffer."""
+    from pixflow_tpu.data.flowpack import FlowPackReader
+    import pytest
+
+    r = FlowPackReader(_write_pack(tmp_path))
     try:
+        n = r.num_flows(0)
         with pytest.raises(IndexError):
-            r.read(0, 0, 1)
-        # the untouched entries still read exactly
-        assert float(r.read(1, 0, 1)[0, 0, 0, 0]) == 1.0
+            r.read(0, 0, n + 1)
+        with pytest.raises(IndexError):
+            r.read(0, -1, 1)
     finally:
         r.close()
 

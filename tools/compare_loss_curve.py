@@ -15,7 +15,10 @@ machine it is the strongest executable form of the BASELINE.json
 and a final summary line to stdout.
 
 Env: CURVE_STEPS (default 30), CURVE_BATCH (2), CURVE_HW (64),
-CURVE_FLOW=1 (precomputed-flow path), CURVE_SEED.
+CURVE_FLOW=1 (precomputed-flow path), CURVE_SEED,
+CURVE_JAX_DTYPE=bfloat16 to run OUR side at bf16 compute (f32 params/EMA;
+the torch reference stays f32) — the dtype-adjudication study: how far a
+bf16-compute trajectory drifts from the reference's O0 recipe.
 """
 
 import json
@@ -142,8 +145,9 @@ def main():
         ref_losses.append(float(loss.detach()))
 
     variables = torch_pixpro_to_flax(init_sd)
+    jax_dtype = getattr(jnp, os.environ.get("CURVE_JAX_DTYPE", "float32"))
     model = PixPro(arch="resnet50", pixpro_p=2.0, pixpro_transform_layer=1,
-                   pixpro_pos_ratio=0.7)
+                   pixpro_pos_ratio=0.7, dtype=jax_dtype)
     lr_sched = make_lr_schedule("cosine", LR, EPOCHS, WARMUP, SPE)
     tx = lars_sgd(lr_sched, momentum=MOM, weight_decay=WD,
                   frozen_mask=frozen_momentum_branch_mask(variables["params"]))
@@ -179,6 +183,7 @@ def main():
     print(json.dumps({
         "metric": "loss_curve_max_abs_diff",
         "steps": steps, "with_flow": with_flow,
+        "jax_dtype": jax_dtype.__name__,
         "value": round(max(diffs), 6),
         "mean_abs_diff": round(sum(diffs) / len(diffs), 6),
         "final_ref": round(ref_losses[-1], 6),
