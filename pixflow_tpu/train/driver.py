@@ -30,6 +30,35 @@ from .state import create_train_state
 from .train_step import make_train_step
 
 
+def _verbose_dump(batch, n_frames: int):
+    """--verbose: raw per-rank numeric dumps from the flow path, the
+    reference's debug-print-for-raft flag (`contrast/option.py:79`,
+    `contrast/util.py:95-101`, `contrast/models/PixPro.py:54-57`). The
+    reference prints whole tensors with .tolist(); at production sizes that
+    is gigabytes per step, so each array prints dtype/shape/min/max/mean
+    plus its first 8 raw values — the same per-rank numbers, bounded."""
+    rank = jax.process_index()
+    for key in ("frames", "flows_fwd", "flows_bwd", "im1", "im2",
+                "ims1", "ims2"):
+        if key not in batch:
+            continue
+        a = np.asarray(batch[key])
+        flat = a.reshape(-1).astype(np.float64)
+        head = np.array2string(np.asarray(batch[key]).reshape(-1)[:8],
+                               precision=4, separator=", ")
+        print(f"rank: {rank} {key}: {a.dtype} {tuple(a.shape)} "
+              f"min {flat.min():.5g} max {flat.max():.5g} "
+              f"mean {flat.mean():.5g} head {head}", flush=True)
+    for key in ("coord1", "coord2", "coords1", "coords2"):
+        if key in batch:
+            a = np.asarray(batch[key])
+            # the loss-side size prints (`PixPro.py:54-57`): the coord
+            # vector's trailing (w, h, W, H) fields are exactly orig/cur size
+            print(f"rank: {rank} {key}: {a.dtype} {tuple(a.shape)}",
+                  np.round(a.reshape(a.shape[0], -1), 4).tolist(), flush=True)
+    print(f"rank: {rank} n_frames: {n_frames}", flush=True)
+
+
 def _peak_memory_mb():
     """Peak bytes in use on device 0, if the backend exposes memory_stats
     (TPU/GPU do; CPU returns None)."""
@@ -415,6 +444,9 @@ def train(cfg: PretrainConfig):
                 n_eff = batch.pop("n_frames_eff", None)
             batch.pop("index", None)
             batch.pop("target", None)
+            if cfg.runtime.verbose and use_flow:
+                # reference cadence: every step on the flow path
+                _verbose_dump(batch, cfg.data.n_frames)
             # multi-process: assemble each host's local rows into the
             # global batch array (make_array_from_process_local_data);
             # single-process: plain device_put

@@ -73,6 +73,21 @@ def test_pretrain_driver_end_to_end(synth_root, tmp_path, use_flow):
         assert json.load(f)["model"]["arch"] == "resnet18"
 
 
+def test_verbose_flow_dumps(synth_root, tmp_path, capsys):
+    """--verbose prints per-rank numeric dumps from the flow path
+    (reference `contrast/option.py:79`, `util.py:95-101`) — wired, not an
+    accepted-but-ignored flag."""
+    from pixflow_tpu.train.driver import train
+    cfg = _config(synth_root, str(tmp_path / "verbose_out"), use_flow=True)
+    cfg.optim.epochs = 1
+    cfg.runtime.verbose = True
+    train(cfg)
+    out = capsys.readouterr().out
+    assert "rank: 0 flows_fwd:" in out
+    assert "rank: 0 coord1:" in out
+    assert "rank: 0 n_frames:" in out
+
+
 def test_pretrain_driver_auto_resume(synth_root, tmp_path):
     from pixflow_tpu.train.driver import train
     out = str(tmp_path / "resume_out")
