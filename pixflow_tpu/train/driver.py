@@ -126,10 +126,19 @@ def live_flow_micro_batch(flow_bs: Optional[int],
 
 
 def _make_raft_fn(cfg: PretrainConfig, n_devices: int = 1):
-    """Build the in-step RAFT flow closure for the on-the-fly path. With
-    --flow_up, RAFT's own full-resolution output is used (convex upsampling
-    for the basic model, matching reference `calc_optical_flow(up=True)`,
-    `util.py:83-91`), so the composition must not upsample again."""
+    """Build the in-step RAFT flow closure for the on-the-fly path.
+
+    Returns (raft_fn, lazy_up). With --flow_up, RAFT-SMALL's full-res
+    output is *exactly* `upflow8(flow_low)` (reference
+    `contrast/flow/raft.py:152-160` — no convex upsampling head), which is
+    precisely the U(f) identity the lazy point-domain engine implements
+    (ops/flow_points.py): the small model therefore emits the COARSE stack
+    (up=False) and the train step's LazyFlowUp path composes/masks it
+    without ever materializing 720x1280 fields — same numbers, out of the
+    gather-bound regime (docs/PERF.md). Only the basic model's convex
+    upsampling genuinely needs RAFT's own full-res output
+    (`calc_optical_flow(up=True)`, `util.py:83-91`); there the composition
+    runs on the materialized fields and must not upsample again."""
     from ..models.raft import load_raft, raft_batch_flows
     raft, variables = load_raft(
         cfg.flow.flow_model, small=cfg.flow.small,
@@ -138,13 +147,14 @@ def _make_raft_fn(cfg: PretrainConfig, n_devices: int = 1):
         else getattr(jnp, cfg.flow.raft_corr_dtype))
 
     micro = live_flow_micro_batch(cfg.flow.flow_bs, n_devices)
+    lazy_up = (cfg.flow.flow_up and cfg.flow.flow_up_lazy and cfg.flow.small)
 
     def raft_fn(frames):  # [B, n, H, W, 3] uint8
         return raft_batch_flows(raft, variables, frames,
                                 iters=cfg.flow.raft_iters,
-                                up=cfg.flow.flow_up,
+                                up=cfg.flow.flow_up and not lazy_up,
                                 micro_batch=micro)
-    return raft_fn
+    return raft_fn, lazy_up
 
 
 def train(cfg: PretrainConfig):
@@ -340,17 +350,19 @@ def train(cfg: PretrainConfig):
         state = replicate_tree(state, mesh)
 
     use_flow = cfg.flow.use_flow
-    raft_fn = None
+    raft_fn, raft_lazy_up = None, False
     if use_flow and not cfg.flow.use_flow_file:
-        raft_fn = _make_raft_fn(cfg, n_devices)
+        raft_fn, raft_lazy_up = _make_raft_fn(cfg, n_devices)
 
     step_kwargs = dict(
         lr_schedule=lr_schedule,
         ema_total_steps=ema_total,
         ema_base_momentum=cfg.model.pixpro_momentum,
         mesh=mesh, use_flow=use_flow,
-        # live RAFT already emits full-res flows under --flow_up
-        flow_up=cfg.flow.flow_up and raft_fn is None,
+        # live RAFT-basic already emits full-res flows under --flow_up;
+        # live RAFT-small emits the coarse stack and rides the same lazy
+        # flow_up path as file flows (_make_raft_fn)
+        flow_up=cfg.flow.flow_up and (raft_fn is None or raft_lazy_up),
         flow_up_lazy=cfg.flow.flow_up_lazy,
         flow_cat_norm=cfg.flow.flow_cat_norm,
         use_flow_frames=cfg.flow.use_flow_frames and use_flow
@@ -364,7 +376,8 @@ def train(cfg: PretrainConfig):
     # therefore run a telemetry-free compilation of the same program
     step_fn_fast = step_fn
     if (use_flow and cfg.flow.flow_up and cfg.flow.flow_up_lazy
-            and raft_fn is None and cfg.runtime.print_freq > 1
+            and (raft_fn is None or raft_lazy_up)
+            and cfg.runtime.print_freq > 1
             and cfg.flow.alpha1 is not None
             and cfg.flow.alpha2 is not None):
         step_fn_fast = make_train_step(model, tx, flow_telemetry=False,

@@ -88,7 +88,15 @@ def main():
 
             threading.Thread(target=fire, daemon=True).start()
         state = train(cfg)
-        result = {"step": int(state.step), "process": pid}
+        # steps_per_epoch exactly as the driver derived it (it feeds the LR
+        # schedule and EMA ramp): rebuild the same loader and measure
+        from pixflow_tpu.data import build_pretrain_loader
+        loader = build_pretrain_loader(
+            cfg, global_batch_size=cfg.data.batch_size * len(jax.devices()),
+            num_hosts=jax.process_count(), host_id=jax.process_index())
+        result = {"step": int(state.step), "process": pid,
+                  "steps_per_epoch": len(loader)}
+        loader.close()
     elif mode == "linear":
         from pixflow_tpu.configs import LinearConfig
         from pixflow_tpu.eval.driver import linear_eval

@@ -230,6 +230,86 @@ def test_live_raft_multi_span_matches_file_path():
         results["live"][0].params, results["file"][0].params)
 
 
+@pytest.mark.parametrize("multi_span", [False, True])
+def test_live_raft_small_lazy_flow_up_matches_materializing(multi_span):
+    """Live RAFT-small + --flow_up: the lazy point-domain path (RAFT emits
+    the coarse stack, LazyFlowUp composes it — `driver._make_raft_fn`) must
+    match the materializing path (RAFT emits `upflow8(flow_low)` full-res
+    fields, composed at full res). Exact for the small model because its
+    full-res output IS `upflow8(flow_low)` (reference
+    `contrast/flow/raft.py:152-160` — no convex upsampling head)."""
+    from pixflow_tpu.models.raft import RAFT, raft_batch_flows
+
+    n_frames, b, hw = (3, 2, 32) if multi_span else (2, 2, 32)
+    f = n_frames - 1
+    raft = RAFT(small=True)
+    frames = jnp.asarray(RNG.integers(0, 255, (b, n_frames, hw, hw, 3))
+                         .astype(np.float32))
+    raft_vars = raft.init(jax.random.PRNGKey(3), frames[:, 0], frames[:, 1],
+                          iters=1)
+
+    def make_raft_fn(up):
+        def raft_fn(fr):
+            return raft_batch_flows(raft, raft_vars, fr, iters=2, up=up)
+        return raft_fn
+
+    if multi_span:
+        batch = {
+            "ims1": jnp.asarray(RNG.standard_normal((b, f, hw, hw, 3))
+                                .astype(np.float32)),
+            "ims2": jnp.asarray(RNG.standard_normal((b, f, hw, hw, 3))
+                                .astype(np.float32)),
+            "coords1": jnp.asarray(_coords(b, f)),
+            "coords2": jnp.asarray(_coords(b, f)),
+            "n_frames_eff": jnp.asarray([3, 2], jnp.int32),
+            "frames": frames,
+        }
+        sample = batch["ims1"][:1, 0]
+    else:
+        coords = _coords(b, 1)[:, 0]
+        batch = {
+            "im1": jnp.asarray(RNG.standard_normal((b, hw, hw, 3))
+                               .astype(np.float32)),
+            "im2": jnp.asarray(RNG.standard_normal((b, hw, hw, 3))
+                               .astype(np.float32)),
+            "coord1": jnp.asarray(coords), "coord2": jnp.asarray(coords),
+            "frames": frames,
+        }
+        sample = batch["im1"][:1]
+
+    model = PixPro(arch="resnet18", pixpro_p=2.0, pixpro_transform_layer=1,
+                   proj_inner_dim=64, proj_out_dim=32)
+    lr = warmup_cosine(0.1, 10, 1, 5)
+    results = {}
+    # lazy: coarse stack + LazyFlowUp (flow_up=True in the step);
+    # materializing: full-res upflow8 fields composed at full res
+    # (flow_up=False in the step — they are already upsampled)
+    for mode, (up, step_flow_up) in {"lazy": (False, True),
+                                     "mat": (True, False)}.items():
+        tx0 = lars_sgd(lr, weight_decay=1e-5)
+        state = create_train_state(jax.random.PRNGKey(0), model, tx0,
+                                   {"im1": sample})
+        tx = lars_sgd(lr, weight_decay=1e-5,
+                      frozen_mask=frozen_momentum_branch_mask(state.params))
+        state = state.replace(opt_state=tx.init(state.params))
+        step = make_train_step(
+            model, tx, lr_schedule=lr, ema_total_steps=50,
+            ema_base_momentum=0.99, use_flow=True,
+            use_flow_frames=multi_span, flow_up=step_flow_up,
+            alpha1=0.01, alpha2=0.5, raft_fn=make_raft_fn(up), donate=False)
+        state, metrics = step(state, batch)
+        results[mode] = (state, {kk: float(v) for kk, v in metrics.items()})
+
+    m_lazy, m_mat = results["lazy"][1], results["mat"][1]
+    assert m_lazy["pos_num"] == m_mat["pos_num"]
+    assert m_lazy["pos_num_1"] == m_mat["pos_num_1"]
+    np.testing.assert_allclose(m_lazy["loss"], m_mat["loss"], rtol=1e-5)
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-6),
+        results["lazy"][0].params, results["mat"][0].params)
+
+
 def test_dataset_emits_frame_crop_stacks(tmp_path):
     from PIL import Image
     import torch

@@ -15,6 +15,16 @@ multi-span is supported and semantics-exact but measured neutral at 3.3x
 compile, docs/PERF.md)
 Prints one JSON line per configuration (multi-span and, for reference, the
 standard two-crop step at the same batch).
+
+MS_LIVE=1 instead measures the ON-THE-FLY multi-span step (frozen
+RAFT-small inside the compiled step, frames of MS_LIVE_H x MS_LIVE_W,
+default 720x1280 — the BDD resolution) in both flow_up regimes:
+  live_lazy — RAFT emits the coarse 1/8-res stack, LazyFlowUp composes it
+              point-domain (the driver's path for --flow_up + RAFT-small)
+  live_mat  — RAFT emits upflow8 full-res fields, composed materialized
+              (the old path; gather-bound at 720p)
+Exact same numbers by construction (test-pinned,
+tests/test_flow_frames.py::test_live_raft_small_lazy_flow_up_matches_materializing).
 """
 
 import json
@@ -133,12 +143,107 @@ def measure(multi_span: bool, batch_size: int, n_frames: int, n_steps: int):
     }))
 
 
+def measure_live(lazy: bool, batch_size: int, n_frames: int, n_steps: int,
+                 frame_h: int, frame_w: int, iters: int):
+    import jax
+    import jax.numpy as jnp
+
+    from pixflow_tpu.models import PixPro
+    from pixflow_tpu.models.raft import RAFT, raft_batch_flows
+    from pixflow_tpu.train import (create_train_state, lars_sgd,
+                                   frozen_momentum_branch_mask, warmup_cosine,
+                                   make_train_step)
+
+    b, hw = batch_size, 224
+    k = n_frames - 1
+    rng = np.random.default_rng(1)
+
+    raft = RAFT(small=True)
+    frames = jnp.asarray(
+        rng.integers(0, 255, (b, n_frames, frame_h, frame_w, 3)), jnp.uint8)
+    raft_vars = raft.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, frame_h, frame_w, 3), jnp.float32),
+                          jnp.zeros((1, frame_h, frame_w, 3), jnp.float32),
+                          iters=1)
+
+    def raft_fn(fr):
+        return raft_batch_flows(raft, raft_vars, fr, iters=iters,
+                                up=not lazy, micro_batch=None)
+
+    def img(*shape):
+        return jnp.asarray(rng.integers(0, 255, shape + (hw, hw, 3)),
+                           jnp.uint8)
+
+    batch = {
+        "frames": frames,
+        "ims1": img(b, k), "ims2": img(b, k),
+        "coords1": jnp.asarray(_coords(b, k)),
+        "coords2": jnp.asarray(_coords(b, k)),
+        "n_frames_eff": jnp.full((b,), n_frames, jnp.float32),
+    }
+
+    model = PixPro(arch="resnet50", pixpro_p=2.0, pixpro_transform_layer=1,
+                   pixpro_pos_ratio=0.7, dtype=jnp.bfloat16, fuse_views=False)
+    lr = warmup_cosine(1.0, epochs=100, warmup_epoch=5, steps_per_epoch=68)
+    tx0 = lars_sgd(lr, weight_decay=1e-5)
+    state = create_train_state(
+        jax.random.PRNGKey(0), model, tx0,
+        {"im1": jnp.zeros((1, hw, hw, 3), jnp.float32)})
+    tx = lars_sgd(lr, weight_decay=1e-5,
+                  frozen_mask=frozen_momentum_branch_mask(state.params))
+    state = state.replace(opt_state=tx.init(state.params))
+
+    step = make_train_step(model, tx, lr_schedule=lr,
+                           ema_total_steps=100 * 68, ema_base_momentum=0.99,
+                           use_flow=True, flow_up=lazy,
+                           use_flow_frames=True, raft_fn=raft_fn,
+                           alpha1=0.01, alpha2=0.5, donate=False)
+
+    t0 = time.perf_counter()
+    compiled = step.lower(state, batch).compile()
+    compile_s = time.perf_counter() - t0
+    mem = compiled.memory_analysis()
+
+    state2, metrics = step(state, batch)
+    float(metrics["loss"])  # sync (axon: scalar fetch is the only barrier)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state2, metrics = step(state2, batch)
+        float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+
+    print(json.dumps({
+        "metric": ("live_lazy" if lazy else "live_mat")
+        + "_multispan_samples_per_sec",
+        "value": round(b / dt, 2),
+        "unit": "samples/sec/chip",
+        "step_ms": round(1000 * dt, 1),
+        "compile_s": round(compile_s, 1),
+        "device_memory_mb": round(
+            (mem.temp_size_in_bytes + mem.argument_size_in_bytes
+             + mem.output_size_in_bytes) / 1e6)
+        if mem is not None else None,
+        "batch": b, "n_frames": n_frames, "raft_iters": iters,
+        "frame_hw": [frame_h, frame_w],
+    }))
+
+
 def main():
     b = int(os.environ.get("MS_BATCH", "8"))
     n_frames = int(os.environ.get("MS_FRAMES", "6"))
     n_steps = int(os.environ.get("MS_STEPS", "5"))
     from pixflow_tpu.parallel.mesh import enable_compilation_cache
     enable_compilation_cache()
+    if os.environ.get("MS_LIVE", "0") == "1":
+        fh = int(os.environ.get("MS_LIVE_H", "720"))
+        fw = int(os.environ.get("MS_LIVE_W", "1280"))
+        iters = int(os.environ.get("MS_LIVE_ITERS", "12"))
+        b = int(os.environ.get("MS_BATCH", "2"))
+        # interleave-comparable arms in ONE process (axon variance rule)
+        measure_live(True, b, n_frames, n_steps, fh, fw, iters)
+        measure_live(False, b, n_frames, n_steps, fh, fw, iters)
+        measure_live(True, b, n_frames, n_steps, fh, fw, iters)
+        return
     measure(True, b, n_frames, n_steps)
     measure(False, b, n_frames, n_steps)
 
