@@ -47,6 +47,13 @@ def main():
     mesh = make_data_mesh(n_dev) if n_dev > 1 else None
 
     per_chip_batch = int(os.environ.get("BENCH_BATCH", "64"))
+    # compute dtype of the measured program. Default bfloat16 == the shipped
+    # nframe6 flow recipe (configs/recipes.py) — adjudicated round 5 via the
+    # 200-step bf16-vs-torch-f32 loss-curve study (docs/PERF.md,
+    # docs/artifacts/loss_curve_r5_*_bf16.jsonl) and the interleaved
+    # f32/bf16 arm shootout (tools/bench_dtype.py). BENCH_DTYPE=float32
+    # measures the O0 variant recipe.
+    compute_dtype = getattr(jnp, os.environ.get("BENCH_DTYPE", "bfloat16"))
     device_aug = os.environ.get("BENCH_DEVICE_AUG", "0") == "1"
     flow_up = os.environ.get("BENCH_FLOW_UP", "1") == "1"
     fuse_views = os.environ.get("BENCH_FUSE", "1") == "1"
@@ -96,7 +103,7 @@ def main():
     jax.block_until_ready(batch)
 
     model = PixPro(arch="resnet50", pixpro_p=2.0, pixpro_transform_layer=1,
-                   pixpro_pos_ratio=0.7, dtype=jnp.bfloat16,
+                   pixpro_pos_ratio=0.7, dtype=compute_dtype,
                    fuse_views=fuse_views, remat=remat)
 
     lr = warmup_cosine(4.0, epochs=2000, warmup_epoch=5, steps_per_epoch=68)
@@ -210,6 +217,7 @@ def main():
         "value": round(img_per_sec_per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec_per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 3),
+        "compute_dtype": compute_dtype.__name__,
         # the reference publishes no throughput; the denominator is our
         # estimate (BASELINE.md), not a measured reference number
         "baseline_img_per_sec_per_gpu_estimated": BASELINE_IMG_PER_SEC_PER_CHIP,

@@ -48,7 +48,19 @@ def _flow_recipe(n_frames: int) -> PretrainConfig:
     """16-replica flow recipes
     (`tools/pretrain_bdd100k_job_2000ep_nframe{2,6}_gpu16.sh`): global batch
     1024, precomputed RAFT-small flow files, upflow8, cycle mask
-    alpha1=0.01 alpha2=0.5, full-precision (O0)."""
+    alpha1=0.01 alpha2=0.5.
+
+    compute_dtype: the reference pins these recipes to O0 (f32) — a CUDA/
+    apex choice, not a modeling one. Round-5 adjudication on the v5e
+    (docs/PERF.md): bf16 compute (f32 params/EMA/optimizer) is 1.76x
+    faster interleaved (tools/bench_dtype.py) and its 200-step trajectory
+    vs the f32 torch reference stays sign-oscillating at the same order as
+    the f32-vs-f32 gap (max 0.022 vs 0.012 on a loss of -3.5;
+    docs/artifacts/loss_curve_r5_*_bf16.jsonl), with 1k-step EMA-branch
+    drift measured separately (tools/ema_drift_study.py). bf16 is the
+    shipped dtype; `--compute-dtype float32` reproduces the reference's O0
+    exactly (the trajectory-parity oracles run f32).
+    """
     return PretrainConfig(
         data=DataConfig(dataset="bdd100k", aug="BYOL", crop=0.08,
                         image_size=224, n_frames=n_frames, batch_size=64),
@@ -56,7 +68,7 @@ def _flow_recipe(n_frames: int) -> PretrainConfig:
                         small=True, alpha1=0.01, alpha2=0.5, flow_bs=2),
         model=_canonical_model(),
         optim=_canonical_optim(2000),
-        runtime=RuntimeConfig(compute_dtype="float32"),
+        runtime=RuntimeConfig(compute_dtype="bfloat16"),
     )
 
 

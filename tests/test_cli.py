@@ -23,6 +23,10 @@ def test_recipes_exist_and_match_reference_hparams():
     assert cfg.flow.use_flow and cfg.flow.use_flow_file
     assert cfg.flow.alpha1 == 0.01 and cfg.flow.alpha2 == 0.5
     assert cfg.flow.small
+    # round-5 adjudication (docs/PERF.md): bf16 compute is the shipped
+    # dtype for the flow recipes (1.76x interleaved over f32, trajectory
+    # gap same order as f32's); --compute-dtype float32 = the reference O0
+    assert cfg.runtime.compute_dtype == "bfloat16"
 
     base = get_recipe("pretrain_bdd100k_2000ep")
     assert base.data.n_frames == 1 and not base.flow.use_flow

@@ -166,9 +166,13 @@ def measure_live(lazy: bool, batch_size: int, n_frames: int, n_steps: int,
                           jnp.zeros((1, frame_h, frame_w, 3), jnp.float32),
                           iters=1)
 
+    # micro_batch mirrors the recipe's --flow_bs 2: at 720x1280 all
+    # b*(n_frames-1) pair corr volumes at once OOM the chip (415 MB/pair
+    # at bf16 before pyramid+remat temps)
+    flow_bs = int(os.environ.get("MS_LIVE_FLOW_BS", "2"))
     def raft_fn(fr):
         return raft_batch_flows(raft, raft_vars, fr, iters=iters,
-                                up=not lazy, micro_batch=None)
+                                up=not lazy, micro_batch=flow_bs)
 
     def img(*shape):
         return jnp.asarray(rng.integers(0, 255, shape + (hw, hw, 3)),
