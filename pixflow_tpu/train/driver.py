@@ -43,12 +43,14 @@ def _verbose_dump(batch, n_frames: int):
         if key not in batch:
             continue
         a = np.asarray(batch[key])
-        flat = a.reshape(-1).astype(np.float64)
-        head = np.array2string(np.asarray(batch[key]).reshape(-1)[:8],
-                               precision=4, separator=", ")
+        # reductions in-place on the original dtype (mean accumulates f64):
+        # an .astype(np.float64) copy of e.g. live-flow frames (b=64 x 6 x
+        # 720x1280x3 uint8 ~ 1 GB) would allocate ~8.5 GB per rank per step
+        head = np.array2string(a.reshape(-1)[:8], precision=4, separator=", ")
         print(f"rank: {rank} {key}: {a.dtype} {tuple(a.shape)} "
-              f"min {flat.min():.5g} max {flat.max():.5g} "
-              f"mean {flat.mean():.5g} head {head}", flush=True)
+              f"min {float(a.min()):.5g} max {float(a.max()):.5g} "
+              f"mean {float(a.mean(dtype=np.float64)):.5g} head {head}",
+              flush=True)
     for key in ("coord1", "coord2", "coords1", "coords2"):
         if key in batch:
             a = np.asarray(batch[key])

@@ -89,10 +89,14 @@ def main():
             threading.Thread(target=fire, daemon=True).start()
         state = train(cfg)
         # steps_per_epoch exactly as the driver derived it (it feeds the LR
-        # schedule and EMA ramp): rebuild the same loader and measure
+        # schedule and EMA ramp): rebuild the same loader with the driver's
+        # own mesh-aware global batch (driver.py: batch_size * mesh size —
+        # NOT len(jax.devices()), which diverges if mesh_shape subsets them)
         from pixflow_tpu.data import build_pretrain_loader
+        from pixflow_tpu.parallel import make_data_mesh
+        n_devices = make_data_mesh(cfg.runtime.mesh_shape).devices.size
         loader = build_pretrain_loader(
-            cfg, global_batch_size=cfg.data.batch_size * len(jax.devices()),
+            cfg, global_batch_size=cfg.data.batch_size * n_devices,
             num_hosts=jax.process_count(), host_id=jax.process_index())
         result = {"step": int(state.step), "process": pid,
                   "steps_per_epoch": len(loader)}

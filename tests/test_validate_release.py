@@ -55,3 +55,33 @@ def test_validate_release_dry_run(tmp_path):
     # the published msgpack the later stages consumed exists on disk
     assert os.path.exists(detail["import_pixpro"]["published"])
     assert os.path.exists(detail["d2_export"]["pkl"])
+
+
+def test_validate_release_stage_crash_is_a_fail_row(tmp_path):
+    """The runbook's contract on unknown released artifacts: a stage that
+    raises (here: a garbage .pth) becomes a FAIL row with the traceback
+    tail, the battery keeps going, the report is still written, and the
+    exit code is 1 — the process must never die reportless."""
+    out = str(tmp_path / "vrel")
+    bad = str(tmp_path / "garbage.pth")
+    with open(bad, "wb") as f:
+        f.write(b"not a torch checkpoint")
+    env = dict(os.environ)
+    env["VREL_PLATFORM"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "validate_release.py"),
+         "--pixpro-ckpt", bad, "--stages", "import_pixpro,d2_export",
+         "--out", out],
+        capture_output=True, text=True, cwd=REPO, timeout=600, env=env)
+    assert proc.returncode == 1, proc.stdout[-2000:] + proc.stderr[-2000:]
+
+    with open(os.path.join(out, "validate_report.json")) as f:
+        report = json.load(f)
+    assert report["summary"]["ok"] is False
+    assert report["summary"]["fail"] == 1
+    status = {r["stage"]: r["status"] for r in report["stages"]}
+    assert status["import_pixpro"] == "FAIL"
+    assert status["d2_export"] == "SKIPPED"  # gated on the failed import
+    assert status["loss_curve"] == "SKIPPED"  # not in --stages
+    detail = {r["stage"]: r["detail"] for r in report["stages"]}
+    assert "Traceback" in detail["import_pixpro"]["exception"]

@@ -18,7 +18,9 @@ standard two-crop step at the same batch).
 
 MS_LIVE=1 instead measures the ON-THE-FLY multi-span step (frozen
 RAFT-small inside the compiled step, frames of MS_LIVE_H x MS_LIVE_W,
-default 720x1280 — the BDD resolution) in both flow_up regimes:
+default 720x1280 — the BDD resolution) in both flow_up regimes, compiled
+once each then timed INTERLEAVED per trial block (MS_LIVE_TRIALS, default
+3) with per-arm medians — the axon variance rule (CLAUDE.md):
   live_lazy — RAFT emits the coarse 1/8-res stack, LazyFlowUp composes it
               point-domain (the driver's path for --flow_up + RAFT-small)
   live_mat  — RAFT emits upflow8 full-res fields, composed materialized
@@ -143,8 +145,8 @@ def measure(multi_span: bool, batch_size: int, n_frames: int, n_steps: int):
     }))
 
 
-def measure_live(lazy: bool, batch_size: int, n_frames: int, n_steps: int,
-                 frame_h: int, frame_w: int, iters: int):
+def build_live(lazy: bool, batch_size: int, n_frames: int,
+               frame_h: int, frame_w: int, iters: int):
     import jax
     import jax.numpy as jnp
 
@@ -210,32 +212,68 @@ def measure_live(lazy: bool, batch_size: int, n_frames: int, n_steps: int,
 
     state2, metrics = step(state, batch)
     float(metrics["loss"])  # sync (axon: scalar fetch is the only barrier)
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state2, metrics = step(state2, batch)
-        float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / n_steps
+    cell = {"state": state2}
 
-    print(json.dumps({
-        "metric": ("live_lazy" if lazy else "live_mat")
-        + "_multispan_samples_per_sec",
-        "value": round(b / dt, 2),
-        "unit": "samples/sec/chip",
-        "step_ms": round(1000 * dt, 1),
-        "compile_s": round(compile_s, 1),
-        "device_memory_mb": round(
-            (mem.temp_size_in_bytes + mem.argument_size_in_bytes
-             + mem.output_size_in_bytes) / 1e6)
-        if mem is not None else None,
-        "batch": b, "n_frames": n_frames, "raft_iters": iters,
-        "frame_hw": [frame_h, frame_w],
-    }))
+    def run_trial(n_steps: int) -> float:
+        """One timed block of n_steps; returns seconds/step."""
+        t0 = time.perf_counter()
+        st = cell["state"]
+        for _ in range(n_steps):
+            st, metrics = step(st, batch)
+            float(metrics["loss"])
+        cell["state"] = st
+        return (time.perf_counter() - t0) / n_steps
+
+    return {
+        "run_trial": run_trial,
+        "meta": {
+            "metric": ("live_lazy" if lazy else "live_mat")
+            + "_multispan_samples_per_sec",
+            "unit": "samples/sec/chip",
+            "compile_s": round(compile_s, 1),
+            "device_memory_mb": round(
+                (mem.temp_size_in_bytes + mem.argument_size_in_bytes
+                 + mem.output_size_in_bytes) / 1e6)
+            if mem is not None else None,
+            "batch": b, "n_frames": n_frames, "raft_iters": iters,
+            "frame_hw": [frame_h, frame_w],
+        },
+    }
+
+
+def measure_live_interleaved(batch_size, n_frames, n_steps, fh, fw, iters,
+                             trials):
+    """CLAUDE.md axon variance rule: the SAME compiled program can vary up
+    to 2x between separate timing blocks through the tunnel, so lazy-vs-
+    materializing is adjudicated by compiling BOTH arms once and alternating
+    per-trial blocks (A,B,A,B,...) in one process, reporting per-arm medians
+    (the bench_dtype.py pattern) — never two contiguous blocks minutes
+    apart."""
+    arms = {True: build_live(True, batch_size, n_frames, fh, fw, iters),
+            False: build_live(False, batch_size, n_frames, fh, fw, iters)}
+    times = {True: [], False: []}
+    for _ in range(trials):
+        for lazy in (True, False):
+            times[lazy].append(arms[lazy]["run_trial"](n_steps))
+    for lazy in (True, False):
+        dt = float(np.median(times[lazy]))
+        print(json.dumps({
+            **arms[lazy]["meta"],
+            "value": round(batch_size / dt, 2),
+            "step_ms": round(1000 * dt, 1),
+            "step_ms_trials": [round(1000 * t, 1) for t in times[lazy]],
+            "trials_per_arm": trials, "steps_per_trial": n_steps,
+        }))
 
 
 def main():
     b = int(os.environ.get("MS_BATCH", "8"))
     n_frames = int(os.environ.get("MS_FRAMES", "6"))
     n_steps = int(os.environ.get("MS_STEPS", "5"))
+    if os.environ.get("MS_PLATFORM"):
+        # smoke runs off-TPU (the axon plugin ignores JAX_PLATFORMS)
+        import jax
+        jax.config.update("jax_platforms", os.environ["MS_PLATFORM"])
     from pixflow_tpu.parallel.mesh import enable_compilation_cache
     enable_compilation_cache()
     if os.environ.get("MS_LIVE", "0") == "1":
@@ -243,10 +281,8 @@ def main():
         fw = int(os.environ.get("MS_LIVE_W", "1280"))
         iters = int(os.environ.get("MS_LIVE_ITERS", "12"))
         b = int(os.environ.get("MS_BATCH", "2"))
-        # interleave-comparable arms in ONE process (axon variance rule)
-        measure_live(True, b, n_frames, n_steps, fh, fw, iters)
-        measure_live(False, b, n_frames, n_steps, fh, fw, iters)
-        measure_live(True, b, n_frames, n_steps, fh, fw, iters)
+        trials = int(os.environ.get("MS_LIVE_TRIALS", "3"))
+        measure_live_interleaved(b, n_frames, n_steps, fh, fw, iters, trials)
         return
     measure(True, b, n_frames, n_steps)
     measure(False, b, n_frames, n_steps)

@@ -28,8 +28,13 @@ acceptance battery against them:
 reference torch modules via /root/reference, tiny synthetic image trees)
 and relaxes the real-weights-only thresholds, so the whole battery is
 executable TODAY and cannot bit-rot (tests/test_validate_release.py runs
-it). Report: one JSON line per stage + a summary line; exit 0 iff no stage
-FAILED. Written to <out>/validate_report.json as well.
+it). --stages runs a comma-named subset (the rest report SKIPPED).
+
+A stage that raises (unknown released artifact, shape mismatch, OOM...)
+becomes a FAIL row with the traceback tail; later independent stages still
+run and the report is always written. Report: one JSON line per stage + a
+summary line; exit 0 iff no stage FAILED. Written to
+<out>/validate_report.json as well.
 """
 
 import argparse
@@ -322,6 +327,10 @@ def main():
     p.add_argument("--dry-run", action="store_true",
                    help="synthesize missing inputs as random fixtures and "
                         "relax real-weights-only thresholds")
+    p.add_argument("--stages", default=None,
+                   help="comma list to run a subset (import_pixpro,"
+                        "import_raft,loss_curve,linear_probe,d2_export,"
+                        "bdd_smoke); others are SKIPPED. Default: all")
     p.add_argument("--curve-steps", type=int, default=None,
                    help="loss-curve steps (default 200; dry-run 3)")
     p.add_argument("--curve-tol", type=float, default=0.05)
@@ -349,7 +358,14 @@ def main():
     a.curve_steps = a.curve_steps or (3 if a.dry_run else 200)
     a.linear_epochs = a.linear_epochs or (1 if a.dry_run else 20)
     a.linear_image_size = a.linear_image_size or (64 if a.dry_run else 224)
-    a.linear_batch = a.linear_batch or (4 if a.dry_run else 256)
+    if a.linear_batch is None:
+        if a.dry_run:
+            # the eval driver shards batches over ALL devices; under the
+            # tests' 8-virtual-CPU-device env a batch of 4 is unshardable
+            import jax
+            a.linear_batch = max(4, jax.device_count())
+        else:
+            a.linear_batch = 256
 
     if a.dry_run:
         fix = os.path.join(a.out, "fixtures")
@@ -361,8 +377,11 @@ def main():
             a.pixpro_ckpt = make_fixture_pixpro(
                 os.path.join(fix, "pixpro.pth"), a.arch)
         if not a.raft_ckpt:
+            # honor --raft-basic in dry-run too: the fixture must be the
+            # same variant stage_import_raft will load (small=a.raft_small)
+            name = "raft-small.pth" if a.raft_small else "raft-basic.pth"
             a.raft_ckpt = make_fixture_raft(
-                os.path.join(fix, "raft-small.pth"), small=True)
+                os.path.join(fix, name), small=a.raft_small)
         if not a.imagenet_root:
             a.imagenet_root = make_fixture_imagenet(
                 os.path.join(fix, "imagenet"))
@@ -381,31 +400,64 @@ def main():
         rows.append({"stage": stage, "status": "SKIPPED", "detail": why})
         print(json.dumps(rows[-1]), flush=True)
 
+    def guarded(stage, fn, *args):
+        # one crashing stage (unknown released artifact, shape mismatch,
+        # OOM...) must become a FAIL row, not kill the battery: the whole
+        # point of the runbook is that later independent stages still run
+        # and validate_report.json is always written
+        try:
+            return fn(*args)
+        except Exception:
+            import traceback
+            report(stage, False, {"exception": traceback.format_exc()[-2000:]})
+            return None
+
+    wanted = (set(s.strip() for s in a.stages.split(",") if s.strip())
+              if a.stages else None)
+    known = {"import_pixpro", "import_raft", "loss_curve", "linear_probe",
+             "d2_export", "bdd_smoke"}
+    if wanted is not None and not wanted <= known:
+        p.error(f"unknown --stages: {sorted(wanted - known)}")
+
+    def want(stage):
+        if wanted is not None and stage not in wanted:
+            skip(stage, "not in --stages")
+            return False
+        return True
+
     published = None
-    if a.pixpro_ckpt:
-        published = stage_import_pixpro(a, report)
-    else:
-        skip("import_pixpro", "no --pixpro-ckpt")
-    if a.raft_ckpt:
-        stage_import_raft(a, report)
-    else:
-        skip("import_raft", "no --raft-ckpt")
-    if os.path.isdir(REF):
-        stage_loss_curve(a, report)
-    else:
-        skip("loss_curve", f"reference not present at {REF}")
-    if published and a.imagenet_root:
-        stage_linear_probe(a, published, report)
-    else:
-        skip("linear_probe", "needs import_pixpro PASS + --imagenet-root")
-    if published:
-        stage_d2_export(a, published, report)
-    else:
-        skip("d2_export", "needs import_pixpro PASS")
-    if a.bdd_root:
-        stage_bdd_smoke(a, report)
-    else:
-        skip("bdd_smoke", "no --bdd-root")
+    if want("import_pixpro"):
+        if a.pixpro_ckpt:
+            published = guarded("import_pixpro", stage_import_pixpro,
+                                a, report)
+        else:
+            skip("import_pixpro", "no --pixpro-ckpt")
+    if want("import_raft"):
+        if a.raft_ckpt:
+            guarded("import_raft", stage_import_raft, a, report)
+        else:
+            skip("import_raft", "no --raft-ckpt")
+    if want("loss_curve"):
+        if os.path.isdir(REF):
+            guarded("loss_curve", stage_loss_curve, a, report)
+        else:
+            skip("loss_curve", f"reference not present at {REF}")
+    if want("linear_probe"):
+        if published and a.imagenet_root:
+            guarded("linear_probe", stage_linear_probe, a, published, report)
+        else:
+            skip("linear_probe",
+                 "needs import_pixpro PASS + --imagenet-root")
+    if want("d2_export"):
+        if published:
+            guarded("d2_export", stage_d2_export, a, published, report)
+        else:
+            skip("d2_export", "needs import_pixpro PASS")
+    if want("bdd_smoke"):
+        if a.bdd_root:
+            guarded("bdd_smoke", stage_bdd_smoke, a, report)
+        else:
+            skip("bdd_smoke", "no --bdd-root")
 
     statuses = [r["status"] for r in rows]
     summary = {"metric": "validate_release",
