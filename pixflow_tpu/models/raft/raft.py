@@ -153,34 +153,46 @@ def raft_batch_flows(model: RAFT, variables, frames: jnp.ndarray,
     micro-batching replaces `mem_reduce_calc_optical_flow`). Returns
     (flows_fwd, flows_bwd): [B, n-1, h, w, 2] with h, w = H/8, W/8 (or full
     res when up=True, the reference's `--flow_up` for live RAFT).
+
+    All 2(n-1) directed pairs run through ONE `lax.map` body (RAFT is
+    traced/compiled once, and exactly one pair-forward's buffers are live
+    at a time). The earlier Python unroll let XLA keep several 720p
+    pair-forwards live at once — at 720x1280 the level-0 corr volume alone
+    is ~0.8 GB f32 per pair, and batch 2 / n_frames 6 overflowed the 16 GB
+    chip at compile (docs/PERF.md live multi-span section). The map body
+    indexes into the closed-over frames array, so nothing is duplicated.
     """
     b, n, H, W, _ = frames.shape
     assert n >= 2, "need at least two frames for flow"
     idx = 1 if up else 0
 
-    def pair_flow(im1, im2):
-        out = model.apply(variables, im1, im2, iters=iters)
+    mb = b if micro_batch is None else min(micro_batch, b)
+    if b % mb:
+        # snap to the largest divisor of b (static shapes under jit need
+        # equal chunks; e.g. b=6, flow_bs=4 -> chunks of 3)
+        mb = max(d for d in range(1, mb + 1) if b % d == 0)
+    n_chunks = b // mb
+
+    # directed pair table: entries 0..n-2 = forward (i -> i+1),
+    # entries n-1..2n-3 = backward (i+1 -> i)
+    src = jnp.concatenate([jnp.arange(n - 1), jnp.arange(1, n)])
+    dst = jnp.concatenate([jnp.arange(1, n), jnp.arange(n - 1)])
+    n_pairs = 2 * (n - 1)
+
+    def one(args):
+        p_src, p_dst, c = args
+        fr = jax.lax.dynamic_slice_in_dim(frames, c * mb, mb, axis=0)
+        out = model.apply(variables, jnp.take(fr, p_src, axis=1),
+                          jnp.take(fr, p_dst, axis=1), iters=iters)
         return jax.lax.stop_gradient(out[idx])
 
-    def chunk_flows(fr):  # [bc, n, H, W, 3]
-        fwd = [pair_flow(fr[:, i], fr[:, i + 1]) for i in range(n - 1)]
-        bwd = [pair_flow(fr[:, i + 1], fr[:, i]) for i in range(n - 1)]
-        # backward stack in reversed-pair order (reference util.py:88-91)
-        return jnp.stack(fwd, 1), jnp.stack(bwd[::-1], 1)
-
-    if micro_batch is None or micro_batch >= b:
-        return chunk_flows(frames)
-
-    if b % micro_batch:
-        # snap to the largest divisor of b (static shapes under jit need
-        # equal chunks; e.g. b=6, flow_bs=4 -> chunks of 3). If the only
-        # divisor is 1 (b prime vs flow_bs), fall back to the unchunked
-        # full-batch pass — 1-pair chunks are the serial worst case.
-        micro_batch = max(d for d in range(1, micro_batch + 1)
-                          if b % d == 0)
-        if micro_batch == 1:
-            return chunk_flows(frames)
-    chunks = frames.reshape(b // micro_batch, micro_batch, n, H, W, 3)
-    fwd, bwd = jax.lax.map(chunk_flows, chunks)
-    # [n_chunks, micro, n-1, h, w, 2] -> [B, n-1, h, w, 2]
-    return (fwd.reshape(b, *fwd.shape[2:]), bwd.reshape(b, *bwd.shape[2:]))
+    # map axis laid out [pair-major, chunk-minor] so the reshape below
+    # reassembles [n_pairs, B, ...]
+    flows = jax.lax.map(one, (jnp.repeat(src, n_chunks),
+                              jnp.repeat(dst, n_chunks),
+                              jnp.tile(jnp.arange(n_chunks), n_pairs)))
+    flows = flows.reshape(n_pairs, b, *flows.shape[2:])
+    fwd = jnp.moveaxis(flows[:n - 1], 0, 1)
+    # backward stack in reversed-pair order (reference util.py:88-91)
+    bwd = jnp.moveaxis(flows[n - 1:][::-1], 0, 1)
+    return fwd, bwd

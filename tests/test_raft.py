@@ -99,8 +99,9 @@ def test_raft_batch_flows_micro_batch_snaps_to_divisor():
     np.testing.assert_allclose(np.asarray(chunked[1]), np.asarray(full[1]),
                                rtol=1e-5, atol=1e-5)
 
-    # prime batch vs flow_bs: the only divisor is 1, which would be the
-    # serial worst case — falls back to the unchunked full-batch pass
+    # prime batch vs flow_bs: the only divisor is 1, so the chunk size
+    # snaps all the way down and every (pair, sample) runs as its own
+    # lax.map step — slow but correct, and the smallest possible HBM peak
     frames7 = jnp.asarray(
         RNG.integers(0, 255, (7, n, H, W, 3)).astype(np.float32))
     full7 = raft_batch_flows(model, variables, frames7, iters=1)

@@ -27,6 +27,9 @@ once each then timed INTERLEAVED per trial block (MS_LIVE_TRIALS, default
               (the old path; gather-bound at 720p)
 Exact same numbers by construction (test-pinned,
 tests/test_flow_frames.py::test_live_raft_small_lazy_flow_up_matches_materializing).
+MS_LIVE_ARMS=lazy|mat|both selects which arm(s) to build (a single arm
+halves device-memory pressure for fit probes); MS_LIVE_CORR_DTYPE=bfloat16
+sets the corr-pyramid HBM storage dtype (the driver's --raft_corr_dtype).
 """
 
 import json
@@ -160,7 +163,11 @@ def build_live(lazy: bool, batch_size: int, n_frames: int,
     k = n_frames - 1
     rng = np.random.default_rng(1)
 
-    raft = RAFT(small=True)
+    # corr-pyramid HBM storage dtype, the driver's --raft_corr_dtype knob:
+    # 720p live is memory-bound (PERF.md), so bf16 corr is the fit lever
+    corr_env = os.environ.get("MS_LIVE_CORR_DTYPE")
+    raft = RAFT(small=True,
+                corr_dtype=getattr(jnp, corr_env) if corr_env else None)
     frames = jnp.asarray(
         rng.integers(0, 255, (b, n_frames, frame_h, frame_w, 3)), jnp.uint8)
     raft_vars = raft.init(jax.random.PRNGKey(1),
@@ -237,6 +244,7 @@ def build_live(lazy: bool, batch_size: int, n_frames: int,
             if mem is not None else None,
             "batch": b, "n_frames": n_frames, "raft_iters": iters,
             "frame_hw": [frame_h, frame_w],
+            "corr_dtype": corr_env or "follow",
         },
     }
 
@@ -249,13 +257,15 @@ def measure_live_interleaved(batch_size, n_frames, n_steps, fh, fw, iters,
     per-trial blocks (A,B,A,B,...) in one process, reporting per-arm medians
     (the bench_dtype.py pattern) — never two contiguous blocks minutes
     apart."""
-    arms = {True: build_live(True, batch_size, n_frames, fh, fw, iters),
-            False: build_live(False, batch_size, n_frames, fh, fw, iters)}
-    times = {True: [], False: []}
+    which = os.environ.get("MS_LIVE_ARMS", "both")  # lazy | mat | both
+    arm_keys = {"lazy": (True,), "mat": (False,)}.get(which, (True, False))
+    arms = {lazy: build_live(lazy, batch_size, n_frames, fh, fw, iters)
+            for lazy in arm_keys}
+    times = {lazy: [] for lazy in arm_keys}
     for _ in range(trials):
-        for lazy in (True, False):
+        for lazy in arm_keys:
             times[lazy].append(arms[lazy]["run_trial"](n_steps))
-    for lazy in (True, False):
+    for lazy in arm_keys:
         dt = float(np.median(times[lazy]))
         print(json.dumps({
             **arms[lazy]["meta"],
